@@ -19,7 +19,13 @@ vectorized on the VPU.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# Geometry must be exact: pin einsum/matmul to full fp32 precision
+# (this environment defaults dots to bf16, fine for model GEMMs but
+# not for coordinates).
+_HI = jax.lax.Precision.HIGHEST
 
 # corner template in box frame, matching the reference's ordering
 #         7 -------- 4
@@ -93,7 +99,7 @@ def boxes_to_rotation_matrix(boxes):
 def rotate_points_along_z(points, angle):
     """(B, N, 3+C) points, (B,) yaw → rotated points (extra chans pass)."""
     rot = rotation_matrix_z(angle)
-    xyz = jnp.einsum("bnj,bkj->bnk", points[..., :3], rot)
+    xyz = jnp.einsum("bnj,bkj->bnk", points[..., :3], rot, precision=_HI)
     return jnp.concatenate([xyz, points[..., 3:]], axis=-1)
 
 
@@ -101,7 +107,7 @@ def boxes_to_corners_3d(boxes):
     """(N, 7+) yaw-only boxes → (N, 8, 3) corners (reference ordering)."""
     corners = boxes[:, None, 3:6] * CORNER_TEMPLATE[None]  # (N, 8, 3)
     rot = rotation_matrix_z(boxes[:, 6])  # (N, 3, 3)
-    corners = jnp.einsum("nij,nkj->nki", rot, corners)
+    corners = jnp.einsum("nij,nkj->nki", rot, corners, precision=_HI)
     return corners + boxes[:, None, 0:3]
 
 
@@ -113,7 +119,7 @@ def boxes9d_to_corners_3d(boxes):
     """
     corners = boxes[:, None, 3:6] * CORNER_TEMPLATE[None]
     rot = angles_to_matrix(boxes[:, 6], boxes[:, 7], boxes[:, 8])
-    corners = jnp.einsum("nij,nkj->nki", rot, corners)
+    corners = jnp.einsum("nij,nkj->nki", rot, corners, precision=_HI)
     return corners + boxes[:, None, 0:3]
 
 
@@ -124,7 +130,7 @@ def boxes_to_corners_bev(boxes):
     template = CORNER_TEMPLATE[:4, :2]  # (4, 2)
     corners = boxes[:, None, 3:5] * template[None]
     rot = rotation_matrix_2d(boxes[:, 6])
-    corners = jnp.einsum("nij,nkj->nki", rot, corners)
+    corners = jnp.einsum("nij,nkj->nki", rot, corners, precision=_HI)
     return corners + boxes[:, None, 0:2]
 
 
@@ -144,7 +150,7 @@ def points_in_boxes_mask(points, boxes):
     rot = boxes_to_rotation_matrix(boxes)  # (M, 3, 3)
     local = points[None, :, :3] - boxes[:, None, 0:3]  # (M, N, 3)
     # box frame: R^T @ (p - c)
-    local = jnp.einsum("mji,mnj->mni", rot, local)
+    local = jnp.einsum("mji,mnj->mni", rot, local, precision=_HI)
     half = boxes[:, None, 3:6] / 2.0
     return jnp.all(jnp.abs(local) <= half + 1e-6, axis=-1)
 
