@@ -1,0 +1,193 @@
+"""Ball query, grouping and 3-NN interpolation — vectorized XLA.
+
+TPU-native replacement for the reference CUDA kernels
+(/root/reference/core/pcdet/ops/pointnet2/pointnet2_batch/src/
+ ball_query_gpu.cu, group_points_gpu.cu, interpolate_gpu.cu).
+
+Parity notes (ball_query_kernel_fast, :15-51):
+- selects the FIRST ``nsample`` points (in point order) with
+  d² < radius², pads remaining slots with the first hit, zero if no
+  hit — we reproduce this exactly via a smallest-k selection on the
+  key ``where(in_ball, point_index, N)``.
+- the dilated variant (:53-90) uses an annulus [r_in, r_out) and also
+  returns per-center hit counts (capped at nsample), used by
+  QueryWithCntAndGroup to mask empty balls
+  (pointnet2_modules.py:463-467).
+
+Design: pairwise distances are computed as |c|² + |p|² − 2c·p so the
+cross term is an MXU matmul; the center dim is processed in chunks via
+lax.map so the (M, N) distance tile never exceeds a few MB of VMEM-
+friendly scratch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+INF = 1e10
+
+
+def _pairwise_sqdist(a, b):
+    """(M, 3) x (N, 3) → (M, N) squared euclidean distance."""
+    na = jnp.sum(a * a, axis=-1)
+    nb = jnp.sum(b * b, axis=-1)
+    cross = jnp.dot(a, b.T, precision=_HI)
+    return jnp.maximum(na[:, None] + nb[None, :] - 2.0 * cross, 0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nsample", "center_chunk")
+)
+def ball_query(
+    xyz,
+    new_xyz,
+    radius: float,
+    nsample: int,
+    valid_mask=None,
+    new_valid_mask=None,
+    radius_in: float = 0.0,
+    center_chunk: int = 512,
+):
+    """Args:
+        xyz: (B, N, 3) source points.
+        new_xyz: (B, M, 3) query centers.
+        radius / radius_in: outer/inner radius (annulus if radius_in>0).
+        nsample: group size.
+        valid_mask: (B, N) optional source validity.
+        new_valid_mask: (B, M) optional center validity.
+
+    Returns:
+        idx: (B, M, nsample) int32 — first hits, padded with hit 0.
+        cnt: (B, M) int32 — hits (≤ nsample); 0 for invalid centers.
+    """
+    b, n, _ = xyz.shape
+    m = new_xyz.shape[1]
+    r2_out = radius * radius
+    r2_in = radius_in * radius_in
+
+    if valid_mask is None:
+        valid_mask = jnp.ones((b, n), dtype=bool)
+    if new_valid_mask is None:
+        new_valid_mask = jnp.ones((b, m), dtype=bool)
+
+    chunk = min(center_chunk, m)
+    pad = (-m) % chunk
+
+    def single(xyz_i, new_xyz_i, valid_i, new_valid_i):
+        centers = jnp.pad(new_xyz_i, ((0, pad), (0, 0)))
+        cvalid = jnp.pad(new_valid_i, (0, pad))
+        centers = centers.reshape(-1, chunk, 3)
+        cvalid = cvalid.reshape(-1, chunk)
+
+        def per_chunk(args):
+            c, cv = args
+            d2 = _pairwise_sqdist(c, xyz_i)  # (chunk, N)
+            in_ball = (
+                (d2 < r2_out) & (d2 >= r2_in) & valid_i[None, :] & cv[:, None]
+            )
+            # smallest-k on point order → first hits
+            order_key = jnp.where(
+                in_ball,
+                jnp.arange(n, dtype=jnp.int32)[None, :],
+                jnp.int32(n),
+            )
+            neg_topk, _ = jax.lax.top_k(-order_key, nsample)
+            first_idx = -neg_topk  # ascending point order, n = miss
+            found = first_idx < n
+            cnt = jnp.sum(found, axis=-1).astype(jnp.int32)
+            fill = jnp.where(cnt > 0, first_idx[:, 0], 0)
+            idx = jnp.where(found, first_idx, fill[:, None])
+            return idx.astype(jnp.int32), cnt
+
+        idx, cnt = jax.lax.map(per_chunk, (centers, cvalid))
+        return idx.reshape(-1, nsample)[:m], cnt.reshape(-1)[:m]
+
+    return jax.vmap(single)(xyz, new_xyz, valid_mask, new_valid_mask)
+
+
+def group_points(features, idx):
+    """features: (B, N, C), idx: (B, M, ns) → (B, M, ns, C).
+    Replaces group_points_kernel_fast (+grad via autodiff scatter-add)."""
+    b, _, c = features.shape
+    m, ns = idx.shape[1], idx.shape[2]
+    flat = idx.reshape(b, m * ns)
+    out = jnp.take_along_axis(
+        features, flat[..., None].astype(jnp.int32), axis=1
+    )
+    return out.reshape(b, m, ns, c)
+
+
+def query_and_group(
+    xyz,
+    new_xyz,
+    features,
+    radius: float,
+    nsample: int,
+    valid_mask=None,
+    new_valid_mask=None,
+    radius_in: float = 0.0,
+    use_xyz: bool = True,
+):
+    """QueryAndGroup / QueryWithCntAndGroup parity
+    (pointnet2_utils.py:354-463): ball query + relative-xyz grouping.
+
+    Returns (grouped (B, M, ns, 3+C | C), cnt (B, M)).
+    """
+    idx, cnt = ball_query(
+        xyz, new_xyz, radius, nsample, valid_mask, new_valid_mask, radius_in
+    )
+    grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+    if features is not None:
+        grouped = group_points(features, idx)
+        if use_xyz:
+            grouped = jnp.concatenate([grouped_xyz, grouped], axis=-1)
+    else:
+        grouped = grouped_xyz
+    return grouped, cnt
+
+
+@functools.partial(jax.jit, static_argnames=("center_chunk",))
+def three_nn(unknown, known, valid_mask=None, center_chunk: int = 1024):
+    """Brute-force 3-NN (interpolate_gpu.cu three_nn_kernel_fast parity).
+
+    unknown: (B, M, 3) query points; known: (B, N, 3).
+    Returns dist (B, M, 3) sqrt-distances and idx (B, M, 3) int32.
+    """
+    b, n, _ = known.shape
+    m = unknown.shape[1]
+    if valid_mask is None:
+        valid_mask = jnp.ones((b, n), dtype=bool)
+    chunk = min(center_chunk, m)
+    pad = (-m) % chunk
+
+    def single(unk, kn, valid_i):
+        q = jnp.pad(unk, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+
+        def per_chunk(c):
+            d2 = _pairwise_sqdist(c, kn)
+            d2 = jnp.where(valid_i[None, :], d2, INF)
+            neg, idx = jax.lax.top_k(-d2, 3)
+            return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx.astype(jnp.int32)
+
+        dist, idx = jax.lax.map(per_chunk, q)
+        return dist.reshape(-1, 3)[:m], idx.reshape(-1, 3)[:m]
+
+    return jax.vmap(single)(unknown, known, valid_mask)
+
+
+def three_interpolate(features, idx, weight):
+    """features: (B, N, C); idx/weight: (B, M, 3) → (B, M, C).
+    Parity: three_interpolate_kernel_fast (+grad via autodiff)."""
+    gathered = group_points(features, idx)  # (B, M, 3, C)
+    return jnp.sum(gathered * weight[..., None], axis=2)
+
+
+def three_nn_interpolate_weights(dist):
+    """Inverse-distance weights used by FP layers
+    (pointnet2_modules.py FP forward): w = (1/d) / Σ(1/d)."""
+    recip = 1.0 / jnp.maximum(dist, 1e-8)
+    return recip / jnp.sum(recip, axis=-1, keepdims=True)

@@ -1,0 +1,149 @@
+"""Rotated NMS — fixed-shape, jit-compatible.
+
+TPU-native replacement for the reference's 64-bit-bitmask CUDA NMS
+(iou3d_nms_kernel.cu:267-360 `nms_kernel` / `nms_normal_kernel`).
+
+Design: sort candidates by score, build the pairwise suppression mask
+(IoU > thresh, upper triangle) in row chunks, then resolve the greedy
+recurrence
+
+    keep[j] = valid[j] & not OR_{i<j} (keep[i] & mask[i, j])
+
+by fixpoint iteration (lax.while_loop). Each sweep propagates
+suppression one chain-link deeper; real detection workloads converge in
+a handful of sweeps, and the loop exits exactly at the fixpoint, so the
+result equals sequential greedy NMS bit-for-bit.
+
+Everything returns fixed-size index buffers + a validity count so the
+surrounding code stays shape-stable under jit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import iou3d
+
+NEG_INF = -1e9
+
+
+def _pairwise_iou_chunked(boxes, iou_fn, row_chunk: int = 256):
+    """(K, 7+) → (K, K) IoU computed in row chunks to bound scratch."""
+    k = boxes.shape[0]
+    row_chunk = min(row_chunk, k)
+    pad = (-k) % row_chunk
+    padded = jnp.pad(boxes, ((0, pad), (0, 0)))
+    rows = padded.reshape(-1, row_chunk, boxes.shape[1])
+    iou = jax.lax.map(lambda r: iou_fn(r, boxes), rows)
+    return iou.reshape(-1, k)[:k]
+
+
+def _greedy_resolve(mask, valid):
+    """Resolve greedy keep vector from the (K, K) suppression mask
+    (mask[i, j]: i suppresses j, i < j enforced by caller)."""
+
+    def cond(state):
+        keep, prev, it = state
+        return jnp.any(keep != prev) & (it < mask.shape[0])
+
+    def body(state):
+        keep, _, it = state
+        suppressed = jnp.any(mask & keep[:, None], axis=0)
+        new_keep = valid & ~suppressed
+        return new_keep, keep, it + 1
+
+    keep0 = valid
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (keep0, jnp.zeros_like(keep0), jnp.int32(0))
+    )
+    return keep
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pre_maxsize", "post_maxsize", "iou_kind")
+)
+def nms(
+    boxes,
+    scores,
+    thresh: float,
+    pre_maxsize: int = 4096,
+    post_maxsize: int = 500,
+    valid_mask=None,
+    iou_kind: str = "rotated",
+):
+    """Greedy NMS over fixed-size buffers.
+
+    Args:
+        boxes: (N, 7+) — only the first 7 dims are used, matching the
+            reference which NMSes 9-DoF boxes on [:, 0:7]
+            (model_nms_utils.py:18).
+        scores: (N,).
+        thresh: IoU threshold.
+        valid_mask: (N,) optional bool; invalid boxes never selected.
+        iou_kind: 'rotated' (nms_gpu parity) or 'aligned'
+            (nms_normal_gpu parity).
+
+    Returns:
+        idx: (post_maxsize,) int32 indices into the input (padded with
+             the top candidate index; consume with ``count``),
+        count: () int32 number of valid selections.
+    """
+    n = boxes.shape[0]
+    pre = min(pre_maxsize, n)
+    if valid_mask is not None:
+        scores = jnp.where(valid_mask, scores, NEG_INF)
+    top_scores, order = jax.lax.top_k(scores, pre)
+    cand = boxes[order]
+    cand_valid = top_scores > NEG_INF / 2
+
+    iou_fn = (
+        iou3d.boxes_iou_bev if iou_kind == "rotated" else iou3d.boxes_iou_normal
+    )
+    iou = _pairwise_iou_chunked(cand[:, :7], iou_fn)
+    upper = jnp.triu(jnp.ones((pre, pre), dtype=bool), k=1)
+    mask = (iou > thresh) & upper
+
+    keep = _greedy_resolve(mask, cand_valid)
+
+    # compact kept indices to the front, preserving score order
+    post = min(post_maxsize, pre)
+    keep_rank = jnp.where(keep, jnp.arange(pre), pre)
+    sel = jnp.argsort(keep_rank)[:post]
+    sel_valid = keep[sel]
+    count = jnp.sum(sel_valid.astype(jnp.int32))
+    idx = jnp.where(sel_valid, order[sel], order[0])
+    return idx.astype(jnp.int32), count
+
+
+def class_agnostic_nms(
+    box_scores,
+    box_preds,
+    nms_config,
+    score_thresh: float | None = None,
+    valid_mask=None,
+):
+    """Parity: model_nms_utils.class_agnostic_nms (model_nms_utils.py:6-25)
+    with fixed-shape outputs.
+
+    Returns (selected_idx (post,), selected_count, selected_scores (post,)).
+    """
+    if valid_mask is None:
+        valid_mask = jnp.ones(box_scores.shape[0], dtype=bool)
+    if score_thresh is not None:
+        valid_mask = valid_mask & (box_scores >= score_thresh)
+    idx, count = nms(
+        box_preds,
+        box_scores,
+        thresh=float(nms_config.NMS_THRESH),
+        pre_maxsize=int(nms_config.NMS_PRE_MAXSIZE),
+        post_maxsize=int(nms_config.NMS_POST_MAXSIZE),
+        valid_mask=valid_mask,
+        iou_kind="aligned" if "normal" in str(nms_config.NMS_TYPE) else "rotated",
+    )
+    post = idx.shape[0]
+    in_range = jnp.arange(post) < count
+    sel_scores = jnp.where(in_range, box_scores[idx], NEG_INF)
+    return idx, count, sel_scores

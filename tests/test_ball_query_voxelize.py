@@ -1,0 +1,144 @@
+"""Ball query + grouping + 3NN + voxelize vs brute numpy oracles."""
+
+import numpy as np
+
+from de6d_tpu.ops import ball_query, voxelize
+
+
+def _ball_query_oracle(xyz, centers, radius, nsample):
+    """CUDA ball_query_kernel_fast semantics (ball_query_gpu.cu:15-51)."""
+    m = centers.shape[0]
+    idx = np.zeros((m, nsample), np.int32)
+    cnt = np.zeros(m, np.int32)
+    for i in range(m):
+        c = 0
+        for k in range(xyz.shape[0]):
+            if np.sum((xyz[k] - centers[i]) ** 2) < radius**2:
+                if c == 0:
+                    idx[i, :] = k
+                idx[i, c] = k
+                c += 1
+                if c >= nsample:
+                    break
+        cnt[i] = c
+    return idx, cnt
+
+
+def test_ball_query_matches_oracle(rng):
+    xyz = rng.uniform(-3, 3, (1, 200, 3)).astype(np.float32)
+    centers = rng.uniform(-3, 3, (1, 17, 3)).astype(np.float32)
+    idx, cnt = ball_query.ball_query(xyz, centers, 1.0, 8)
+    ref_idx, ref_cnt = _ball_query_oracle(xyz[0], centers[0], 1.0, 8)
+    np.testing.assert_array_equal(np.asarray(cnt)[0], ref_cnt)
+    np.testing.assert_array_equal(np.asarray(idx)[0], ref_idx)
+
+
+def test_ball_query_annulus(rng):
+    xyz = rng.uniform(-3, 3, (1, 100, 3)).astype(np.float32)
+    centers = xyz[:, :5]
+    idx, cnt = ball_query.ball_query(xyz, centers, 2.0, 16, radius_in=0.5)
+    idxn = np.asarray(idx)[0]
+    cntn = np.asarray(cnt)[0]
+    for i in range(5):
+        d = np.sqrt(np.sum((xyz[0, idxn[i, : cntn[i]]] - centers[0, i]) ** 2, -1))
+        assert np.all((d >= 0.5 - 1e-5) & (d < 2.0))
+
+
+def test_query_and_group(rng):
+    xyz = rng.uniform(-2, 2, (1, 50, 3)).astype(np.float32)
+    feats = rng.randn(1, 50, 6).astype(np.float32)
+    grouped, cnt = ball_query.query_and_group(xyz, xyz[:, :4], feats, 1.5, 8)
+    assert grouped.shape == (1, 4, 8, 9)
+    g = np.asarray(grouped)
+    idx, _ = ball_query.ball_query(xyz, xyz[:, :4], 1.5, 8)
+    idxn = np.asarray(idx)[0]
+    np.testing.assert_allclose(
+        g[0, :, :, :3], xyz[0][idxn] - xyz[0, :4][:, None], atol=1e-5
+    )
+    np.testing.assert_allclose(g[0, :, :, 3:], feats[0][idxn], atol=1e-6)
+
+
+def test_three_nn_interpolate(rng):
+    known = rng.uniform(-2, 2, (1, 40, 3)).astype(np.float32)
+    unknown = rng.uniform(-2, 2, (1, 13, 3)).astype(np.float32)
+    dist, idx = ball_query.three_nn(unknown, known)
+    d = np.asarray(dist)[0]
+    i = np.asarray(idx)[0]
+    full = np.linalg.norm(unknown[0][:, None] - known[0][None], axis=-1)
+    ref_i = np.argsort(full, axis=1)[:, :3]
+    np.testing.assert_allclose(np.sort(d, 1), np.sort(np.take_along_axis(full, ref_i, 1), 1), atol=1e-4)
+    feats = rng.randn(1, 40, 5).astype(np.float32)
+    w = ball_query.three_nn_interpolate_weights(dist)
+    out = np.asarray(ball_query.three_interpolate(feats, idx, w))
+    assert out.shape == (1, 13, 5)
+    wn = np.asarray(w)[0]
+    ref = np.einsum("mk,mkc->mc", wn, feats[0][i])
+    np.testing.assert_allclose(out[0], ref, atol=1e-4)
+
+
+def test_voxelize_matches_dict_oracle(rng):
+    pc_range = [0.0, -4.0, -3.0, 8.0, 4.0, 1.0]
+    voxel_size = [0.5, 0.5, 4.0]
+    n = 300
+    pts = np.zeros((n, 4), np.float32)
+    pts[:, 0] = rng.uniform(-1, 9, n)
+    pts[:, 1] = rng.uniform(-5, 5, n)
+    pts[:, 2] = rng.uniform(-3.5, 1.5, n)
+    pts[:, 3] = rng.uniform(0, 1, n)
+    valid = np.ones(n, bool)
+    valid[250:] = False
+
+    out = voxelize.voxelize(pts, valid, pc_range, voxel_size, 128, 8)
+    coords = np.asarray(out["voxel_coords"])
+    counts = np.asarray(out["voxel_num_points"])
+    nv = int(out["num_voxels"])
+    voxels = np.asarray(out["voxels"])
+    pvi = np.asarray(out["point_voxel_idx"])
+
+    # oracle grouping
+    groups = {}
+    for i in range(250):
+        ijk = np.floor((pts[i, :3] - np.array(pc_range[:3])) / voxel_size).astype(int)
+        grid = np.round((np.array(pc_range[3:]) - np.array(pc_range[:3])) / voxel_size).astype(int)
+        if np.any(ijk < 0) or np.any(ijk >= grid):
+            assert pvi[i] == -1
+            continue
+        groups.setdefault(tuple(ijk[::-1]), []).append(i)  # (z,y,x)
+
+    assert nv == len(groups)
+    got = {tuple(coords[s]): s for s in range(nv)}
+    assert set(got.keys()) == set(groups.keys())
+    for key, members in groups.items():
+        s = got[key]
+        assert counts[s] == min(len(members), 8)
+        # first min(len,8) members (array order) are stored
+        stored = voxels[s, : counts[s], :]
+        expect = pts[members[:8]]
+        np.testing.assert_allclose(stored, expect, atol=1e-6)
+        for i in members:
+            assert pvi[i] == s
+    # dropped/invalid points map to -1
+    assert np.all(pvi[250:] == -1)
+
+
+def test_scatter_to_bev():
+    feats = np.array([[1.0, 2.0], [3.0, 4.0], [0.0, 0.0]], np.float32)
+    coords = np.array([[0, 1, 2], [0, 0, 0], [-1, -1, -1]], np.int32)
+    canvas = np.asarray(voxelize.scatter_to_bev(feats, coords, nx=4, ny=2))
+    assert canvas.shape == (2, 2, 4)
+    np.testing.assert_allclose(canvas[:, 1, 2], [1.0, 2.0])
+    np.testing.assert_allclose(canvas[:, 0, 0], [3.0, 4.0])
+    assert np.sum(np.abs(canvas)) == 10.0
+
+
+def test_segment_ops(rng):
+    vals = rng.randn(10, 3).astype(np.float32)
+    ids = np.array([0, 0, 1, 1, 1, 2, -1, 2, 0, -1], np.int32)
+    mean, cnt = voxelize.segment_mean(vals, ids, 4)
+    np.testing.assert_allclose(cnt[:3], [3, 3, 2])
+    np.testing.assert_allclose(
+        np.asarray(mean)[0], vals[[0, 1, 8]].mean(0), atol=1e-5
+    )
+    mx = voxelize.segment_max(vals, ids, 4)
+    np.testing.assert_allclose(np.asarray(mx)[1], vals[2:5].max(0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mx)[3], 0.0)

@@ -1,0 +1,131 @@
+"""Rotated IoU + NMS tests: golden cases, monte-carlo area oracle, and
+a sequential greedy-NMS oracle."""
+
+import numpy as np
+
+from de6d_tpu.ops import iou3d, nms
+
+
+def make_box(x, y, z, dx, dy, dz, yaw):
+    return np.array([x, y, z, dx, dy, dz, yaw], dtype=np.float32)
+
+
+def test_identical_boxes():
+    a = make_box(0, 0, 0, 4, 2, 1.5, 0.7)[None]
+    iou = np.asarray(iou3d.boxes_iou_bev(a, a))
+    np.testing.assert_allclose(iou, [[1.0]], atol=1e-4)
+    iou_3d = np.asarray(iou3d.boxes_iou3d(a, a))
+    np.testing.assert_allclose(iou_3d, [[1.0]], atol=1e-4)
+
+
+def test_axis_aligned_overlap():
+    a = make_box(0, 0, 0, 2, 2, 2, 0.0)[None]
+    b = make_box(1, 0, 0, 2, 2, 2, 0.0)[None]  # half-overlap in x
+    ov = np.asarray(iou3d.boxes_overlap_bev(a, b))
+    np.testing.assert_allclose(ov, [[2.0]], atol=1e-4)
+    iou = np.asarray(iou3d.boxes_iou_bev(a, b))
+    np.testing.assert_allclose(iou, [[2.0 / 6.0]], atol=1e-4)
+
+
+def test_rotated_45_cross():
+    # unit square vs same square rotated 45deg: intersection is a
+    # regular octagon with area 2*(sqrt(2)-1) ≈ 0.8284
+    a = make_box(0, 0, 0, 1, 1, 1, 0.0)[None]
+    b = make_box(0, 0, 0, 1, 1, 1, np.pi / 4)[None]
+    ov = np.asarray(iou3d.boxes_overlap_bev(a, b))
+    np.testing.assert_allclose(ov, [[2 * (np.sqrt(2) - 1)]], atol=1e-4)
+
+
+def test_disjoint():
+    a = make_box(0, 0, 0, 2, 2, 2, 0.3)[None]
+    b = make_box(10, 10, 0, 2, 2, 2, -0.5)[None]
+    np.testing.assert_allclose(
+        np.asarray(iou3d.boxes_iou_bev(a, b)), [[0.0]], atol=1e-6
+    )
+
+
+def _mc_overlap(box_a, box_b, n=200_000, seed=0):
+    """Monte-carlo BEV overlap area oracle."""
+    rng = np.random.RandomState(seed)
+    lo = np.minimum(box_a[:2], box_b[:2]) - max(box_a[3:5].max(), box_b[3:5].max())
+    hi = np.maximum(box_a[:2], box_b[:2]) + max(box_a[3:5].max(), box_b[3:5].max())
+    pts = rng.uniform(lo, hi, (n, 2))
+
+    def inside(box, p):
+        c, s = np.cos(box[6]), np.sin(box[6])
+        d = p - box[:2]
+        local = np.stack([c * d[:, 0] + s * d[:, 1], -s * d[:, 0] + c * d[:, 1]], 1)
+        return np.all(np.abs(local) <= box[3:5] / 2, axis=1)
+
+    frac = np.mean(inside(box_a, pts) & inside(box_b, pts))
+    return frac * np.prod(hi - lo)
+
+
+def test_random_rotated_vs_monte_carlo(rng):
+    boxes_a = np.zeros((6, 7), np.float32)
+    boxes_b = np.zeros((6, 7), np.float32)
+    for arr in (boxes_a, boxes_b):
+        arr[:, 0:2] = rng.uniform(-2, 2, (6, 2))
+        arr[:, 2] = 0
+        arr[:, 3:5] = rng.uniform(1.5, 4, (6, 2))
+        arr[:, 5] = 1.5
+        arr[:, 6] = rng.uniform(-np.pi, np.pi, 6)
+    ov = np.asarray(iou3d.boxes_overlap_bev(boxes_a, boxes_b))
+    for i in range(6):
+        ref = _mc_overlap(boxes_a[i], boxes_b[i], seed=i)
+        assert abs(ov[i, i] - ref) < 0.08, (i, ov[i, i], ref)
+
+
+def test_aligned_iou3d():
+    a = np.array([[0, 0, 0, 2, 2, 2, 0.0]], np.float32)
+    b = np.array([[1, 1, 1, 2, 2, 2, 0.0]], np.float32)
+    out = np.asarray(iou3d.boxes_aligned_iou3d(a, b))
+    np.testing.assert_allclose(out, [1.0 / 15.0], atol=1e-5)
+
+
+def _greedy_nms_oracle(iou_mat, scores, thresh):
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(scores), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if j != i and iou_mat[i, j] > thresh:
+                suppressed[j] = True
+    return keep
+
+
+def test_nms_matches_sequential_oracle(rng):
+    n = 64
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, 0:2] = rng.uniform(-10, 10, (n, 2))
+    boxes[:, 3:5] = rng.uniform(1.5, 4, (n, 2))
+    boxes[:, 5] = 1.5
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+
+    iou_mat = np.asarray(iou3d.boxes_iou_bev(boxes, boxes))
+    expect = _greedy_nms_oracle(iou_mat, scores, 0.2)
+
+    idx, count = nms.nms(boxes, scores, 0.2, pre_maxsize=n, post_maxsize=n)
+    got = np.asarray(idx)[: int(count)]
+    np.testing.assert_array_equal(sorted(got), sorted(expect))
+    # score-descending order preserved
+    assert np.all(np.diff(scores[got]) <= 1e-6 + 0)
+
+
+def test_nms_valid_mask_and_padding(rng):
+    n = 16
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, 0] = np.arange(n) * 100  # all disjoint
+    boxes[:, 3:6] = 1.0
+    scores = np.linspace(1, 0.1, n).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[5:] = False
+    idx, count = nms.nms(
+        boxes, scores, 0.5, pre_maxsize=n, post_maxsize=8, valid_mask=valid
+    )
+    assert int(count) == 5
+    np.testing.assert_array_equal(np.asarray(idx)[:5], np.arange(5))
