@@ -1,0 +1,73 @@
+"""Map-to-BEV modules.
+
+Parity: reference map_to_bev/{pointpillar_scatter,height_compression,
+conv2d_collapse}.py. Layout is NHWC (TPU-native) — the reference's
+NCHW canvases become (B, ny, nx, C).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...registry import MAP_TO_BEV
+
+
+@MAP_TO_BEV.register
+class PointPillarScatter(nn.Module):
+    """Scatter (B, V, C) pillars into a dense (B, ny, nx, C) canvas
+    (reference pointpillar_scatter.py:14-37)."""
+
+    model_cfg: dict
+    grid_size: tuple  # (nx, ny, nz)
+
+    @property
+    def num_bev_features(self):
+        return int(self.model_cfg["NUM_BEV_FEATURES"])
+
+    @nn.compact
+    def __call__(self, batch_dict, train: bool = False):
+        pillars = batch_dict["pillar_features"]  # (B, V, C)
+        coords = batch_dict["voxel_coords"]  # (B, V, 3) zyx
+        nx, ny = int(self.grid_size[0]), int(self.grid_size[1])
+        c = pillars.shape[-1]
+
+        def scatter_one(feat, coord):
+            valid = coord[:, 0] >= 0
+            lin = jnp.where(valid, coord[:, 1] * nx + coord[:, 2], ny * nx)
+            canvas = jnp.zeros((ny * nx + 1, c), dtype=feat.dtype)
+            canvas = canvas.at[lin].set(
+                jnp.where(valid[:, None], feat, 0.0)
+            )
+            return canvas[: ny * nx].reshape(ny, nx, c)
+
+        batch_dict["spatial_features"] = jax.vmap(scatter_one)(pillars, coords)
+        batch_dict["spatial_features_stride"] = 1
+        return batch_dict
+
+
+@MAP_TO_BEV.register
+class HeightCompression(nn.Module):
+    """Reshape the dense(-ified) 3D feature volume's z dim into
+    channels (reference height_compression.py:26). Consumes
+    'encoded_spconv_tensor' as a dense (B, nz, ny, nx, C) volume from
+    the sparse backbone's densify step."""
+
+    model_cfg: dict
+    grid_size: tuple = (0, 0, 0)
+
+    @property
+    def num_bev_features(self):
+        return int(self.model_cfg["NUM_BEV_FEATURES"])
+
+    @nn.compact
+    def __call__(self, batch_dict, train: bool = False):
+        vol = batch_dict["encoded_spconv_tensor"]  # (B, nz, ny, nx, C)
+        b, nz, ny, nx, c = vol.shape
+        bev = jnp.transpose(vol, (0, 2, 3, 1, 4)).reshape(b, ny, nx, nz * c)
+        batch_dict["spatial_features"] = bev
+        batch_dict["spatial_features_stride"] = batch_dict.get(
+            "encoded_spconv_tensor_stride", 8
+        )
+        return batch_dict

@@ -1,0 +1,118 @@
+"""End-to-end PointPillars slice: device voxelize → PFN → scatter →
+BEV backbone → anchor head → loss / post-processing. CPU-runnable."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from de6d_tpu.models import build_network
+from de6d_tpu.models.detectors.detector3d_template import (
+    post_processing, generate_recall_record,
+)
+
+from model_fixtures import tiny_pointpillar_cfg, random_batch
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model_cfg, spec = tiny_pointpillar_cfg()
+    model = build_network(model_cfg, num_class=3, dataset=spec)
+    rng = np.random.RandomState(0)
+    batch = random_batch(rng, spec)
+    variables = model.init(
+        jax.random.PRNGKey(0), dict(batch), train=False
+    )
+    return model_cfg, spec, model, batch, variables
+
+
+def test_train_forward_and_loss(setup):
+    model_cfg, spec, model, batch, variables = setup
+    out, mutated = model.apply(
+        variables, dict(batch), train=True, mutable=["batch_stats"]
+    )
+    assert "box_cls_labels" in out and "box_reg_targets" in out
+    loss, tb = model.get_training_loss(out)
+    assert np.isfinite(float(loss))
+    assert float(loss) > 0
+    for k, v in tb.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_gradients_flow(setup):
+    model_cfg, spec, model, batch, variables = setup
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            dict(batch), train=True, mutable=["batch_stats"],
+        )
+        loss, _ = model.get_training_loss(out)
+        return loss
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    flat = jax.tree_util.tree_leaves(grads)
+    total = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
+    assert np.isfinite(total) and total > 0
+    # every major submodule must receive gradient
+    names = jax.tree_util.tree_flatten_with_path(grads)[0]
+    joined = {"/".join(str(p) for p in path) for path, _ in names}
+    for want in ("conv_cls", "conv_box", "conv_dir"):
+        assert any(want in j for j in joined), want
+
+
+def test_eval_forward_and_postprocess(setup):
+    model_cfg, spec, model, batch, variables = setup
+    out = model.apply(variables, dict(batch), train=False)
+    assert out["batch_box_preds"].shape[-1] == 7
+    post = post_processing(out, model_cfg["POST_PROCESSING"], num_class=3)
+    b = batch["points"].shape[0]
+    assert post["pred_boxes"].shape == (b, 32, 7)
+    assert post["pred_scores"].shape == (b, 32)
+    assert post["pred_labels"].shape == (b, 32)
+    counts = np.asarray(post["pred_count"])
+    assert np.all(counts >= 0) and np.all(counts <= 32)
+    recalls = generate_recall_record(
+        out, post["pred_boxes"], post["pred_count"]
+    )
+    assert int(recalls["gt"]) == 2 * 4  # one padded gt row per sample
+
+
+def test_target_assignment_positive_anchors(setup):
+    """Anchors must be assigned fg labels near each (valid) gt."""
+    model_cfg, spec, model, batch, variables = setup
+    out, _ = model.apply(
+        variables, dict(batch), train=True, mutable=["batch_stats"]
+    )
+    labels = np.asarray(out["box_cls_labels"])  # (B, A)
+    # every sample has 4 valid gts; force-matching guarantees >= 1
+    # positive anchor per gt (possibly shared)
+    assert (labels > 0).sum() >= 4
+    # reg targets zero for non-positive anchors
+    reg = np.asarray(out["box_reg_targets"])
+    assert np.allclose(reg[labels <= 0], 0.0)
+
+
+def test_jit_full_train_step(setup):
+    model_cfg, spec, model, batch, variables = setup
+
+    @jax.jit
+    def step(params, batch_stats, batch):
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                batch, train=True, mutable=["batch_stats"],
+            )
+            loss, tb = model.get_training_loss(out)
+            return loss, (tb, mut["batch_stats"])
+
+        (loss, (tb, bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        return loss, grads, bs
+
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    loss, grads, bs = step(
+        variables["params"], variables["batch_stats"], jbatch
+    )
+    assert np.isfinite(float(loss))
