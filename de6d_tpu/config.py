@@ -79,13 +79,14 @@ def merge_new_config(config: Config, new_config: dict) -> Config:
     if "_BASE_CONFIG_" in new_config:
         with open(new_config["_BASE_CONFIG_"], "r") as f:
             base = yaml.safe_load(f)
-        config.update(Config(base) if not isinstance(config, Config) else {})
         merge_new_config(config, base)
 
     for key, val in new_config.items():
         if key == "_BASE_CONFIG_":
             continue
-        if isinstance(val, dict) and key in config and isinstance(config[key], dict):
+        if isinstance(val, dict):
+            if key not in config or not isinstance(config[key], dict):
+                config[key] = Config()
             merge_new_config(config[key], val)
         else:
             config[key] = copy.deepcopy(Config._wrap(val))

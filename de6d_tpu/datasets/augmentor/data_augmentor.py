@@ -1,0 +1,178 @@
+"""Config-driven augmentation queue.
+
+Parity: reference datasets/augmentor/data_augmentor.py:9-313 — a list
+of named augmentations from DATA_AUGMENTOR.AUG_CONFIG_LIST minus
+DISABLE_AUG_LIST, applied in order; SlopeAug
+(``random_make_slope_in_scene``, reference :265-282) extends gt boxes
+to 9 dims probabilistically; yaw is re-wrapped to [-pi, pi) at the end
+(:298-300).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+from ...utils.common_utils import limit_period
+from . import augmentor_utils
+from .database_sampler import DataBaseSampler
+
+
+class DataAugmentor:
+    def __init__(self, root_path, augmentor_configs, class_names, logger=None):
+        self.root_path = root_path
+        self.class_names = class_names
+        self.logger = logger
+        self.data_augmentor_queue = []
+        aug_list = (
+            augmentor_configs
+            if isinstance(augmentor_configs, list)
+            else augmentor_configs["AUG_CONFIG_LIST"]
+        )
+        disable = (
+            []
+            if isinstance(augmentor_configs, list)
+            else augmentor_configs.get("DISABLE_AUG_LIST", [])
+        )
+        for cfg in aug_list:
+            if cfg["NAME"] in disable:
+                continue
+            self.data_augmentor_queue.append(
+                getattr(self, cfg["NAME"])(config=cfg)
+            )
+
+    # -- augmentation builders ---------------------------------------------
+    def gt_sampling(self, config=None):
+        sampler = DataBaseSampler(
+            root_path=self.root_path,
+            sampler_cfg=config,
+            class_names=self.class_names,
+            logger=self.logger,
+        )
+        return sampler
+
+    def random_world_flip(self, config=None):
+        def _apply(data_dict, rng, config=config):
+            gt_boxes, points = data_dict["gt_boxes"], data_dict["points"]
+            for axis in config["ALONG_AXIS_LIST"]:
+                fn = (
+                    augmentor_utils.random_flip_along_x
+                    if axis == "x"
+                    else augmentor_utils.random_flip_along_y
+                )
+                gt_boxes, points = fn(gt_boxes, points, rng)
+            data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+            return data_dict
+
+        return _apply
+
+    def random_world_rotation(self, config=None):
+        def _apply(data_dict, rng, config=config):
+            rot_range = config["WORLD_ROT_ANGLE"]
+            if not isinstance(rot_range, (list, tuple)):
+                rot_range = [-rot_range, rot_range]
+            gt_boxes, points = augmentor_utils.global_rotation(
+                data_dict["gt_boxes"], data_dict["points"], rot_range, rng
+            )
+            data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+            return data_dict
+
+        return _apply
+
+    def random_world_scaling(self, config=None):
+        def _apply(data_dict, rng, config=config):
+            gt_boxes, points = augmentor_utils.global_scaling(
+                data_dict["gt_boxes"], data_dict["points"],
+                config["WORLD_SCALE_RANGE"], rng,
+            )
+            data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+            return data_dict
+
+        return _apply
+
+    def random_world_translation(self, config=None):
+        def _apply(data_dict, rng, config=config):
+            stds = config.get("NOISE_TRANSLATE_STD", [0, 0, 0])
+            if not isinstance(stds, (list, tuple)):
+                stds = [stds] * 3
+            gt_boxes, points = data_dict["gt_boxes"], data_dict["points"]
+            for axis, std in enumerate(stds):
+                if std > 0:
+                    gt_boxes, points = (
+                        augmentor_utils.random_translation_along_axis(
+                            gt_boxes, points, std, axis, rng
+                        )
+                    )
+            data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+            return data_dict
+
+        return _apply
+
+    def random_local_rotation(self, config=None):
+        def _apply(data_dict, rng, config=config):
+            rot_range = config["LOCAL_ROT_ANGLE"]
+            if not isinstance(rot_range, (list, tuple)):
+                rot_range = [-rot_range, rot_range]
+            gt_boxes, points = augmentor_utils.random_local_rotation(
+                data_dict["gt_boxes"], data_dict["points"], rot_range, rng
+            )
+            data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+            return data_dict
+
+        return _apply
+
+    def random_local_scaling(self, config=None):
+        def _apply(data_dict, rng, config=config):
+            gt_boxes, points = augmentor_utils.random_local_scaling(
+                data_dict["gt_boxes"], data_dict["points"],
+                config["LOCAL_SCALE_RANGE"], rng,
+            )
+            data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+            return data_dict
+
+        return _apply
+
+    def random_make_slope_in_scene(self, config=None):
+        """SlopeAug (reference data_augmentor.py:265-282): with
+        probability PROB, synthesize a sloped region; gt boxes become
+        9-dim either way."""
+
+        def _apply(data_dict, rng, config=config):
+            gt_boxes, points = data_dict["gt_boxes"], data_dict["points"]
+            if gt_boxes.shape[1] < 9:
+                gt_boxes = np.concatenate(
+                    [gt_boxes, np.zeros((gt_boxes.shape[0], 2))], axis=1
+                )
+            if rng.random_sample() < config.get("PROB", 0.5):
+                params = (
+                    config.get("DIST_MEAN", 20.0),
+                    config.get("DIST_VAR", 10.0),
+                    np.deg2rad(config.get("ANGLE_MEAN", 20.0)),
+                    np.deg2rad(config.get("ANGLE_VAR", 8.0)),
+                )
+                gt_boxes, points, rp, ra = (
+                    augmentor_utils.random_global_make_slope(
+                        gt_boxes, points, params, rng,
+                        smooth=config.get("SMOOTH", False),
+                    )
+                )
+                data_dict["slope_plane"] = np.concatenate([rp, ra])
+            data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+            return data_dict
+
+        return _apply
+
+    # -----------------------------------------------------------------------
+    def forward(self, data_dict, rng=None):
+        rng = rng or np.random.RandomState()
+        for aug in self.data_augmentor_queue:
+            if isinstance(aug, DataBaseSampler):
+                data_dict = aug(data_dict, rng)
+            else:
+                data_dict = aug(data_dict, rng)
+        if "gt_boxes" in data_dict and data_dict["gt_boxes"].shape[0]:
+            data_dict["gt_boxes"][:, 6] = limit_period(
+                data_dict["gt_boxes"][:, 6], offset=0.5, period=2 * np.pi
+            )
+        return data_dict

@@ -231,7 +231,9 @@ def post_processing(batch_dict, post_cfg, num_class: int):
             "pred_count": count,
         }
 
-    return jax.vmap(single)(cls_preds, box_preds)
+    # sequential over batch: the NMS IoU scratch is large, vmapping it
+    # multiplies peak HBM by B (observed OOM on v5e at B=8)
+    return jax.lax.map(lambda args: single(*args), (cls_preds, box_preds))
 
 
 def generate_recall_record(batch_dict, pred_boxes, pred_counts,

@@ -30,7 +30,7 @@ from . import iou3d
 NEG_INF = -1e9
 
 
-def _pairwise_iou_chunked(boxes, iou_fn, row_chunk: int = 256):
+def _pairwise_iou_chunked(boxes, iou_fn, row_chunk: int = 64):
     """(K, 7+) → (K, K) IoU computed in row chunks to bound scratch."""
     k = boxes.shape[0]
     row_chunk = min(row_chunk, k)
