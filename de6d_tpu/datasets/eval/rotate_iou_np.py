@@ -119,8 +119,11 @@ def rotate_iou_matrix(boxes_a, boxes_b, criterion: int = -1,
             denom = area_a[s:e, None] + area_b[None, :] - inter
         elif criterion == 0:
             denom = np.broadcast_to(area_a[s:e, None], inter.shape)
-        else:
+        elif criterion == 1:
             denom = np.broadcast_to(area_b[None, :], inter.shape)
+        else:  # raw intersection area (reference criterion=2 used by
+            # the 3D-overlap kernel, eval.py d3_box_overlap:150)
+            denom = np.ones_like(inter)
         out[s:e] = (inter / np.maximum(denom, EPS)).astype(np.float32)
     return out
 
