@@ -1,1 +1,2 @@
 from . import vfe  # noqa: F401
+from . import pointnet2_backbone  # noqa: F401

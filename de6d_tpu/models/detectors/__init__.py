@@ -1,4 +1,5 @@
 from .detector3d_template import Detector3DTemplate, DatasetSpec
 from .pointpillar import PointPillar
+from .det6d import Det6D, SSD3D
 
-__all__ = ["Detector3DTemplate", "DatasetSpec", "PointPillar"]
+__all__ = ["Detector3DTemplate", "DatasetSpec", "PointPillar", "Det6D", "SSD3D"]

@@ -109,14 +109,86 @@ def _convex_area_from_candidates(pts, valid):
     return jnp.where(n >= 3, area, 0.0)
 
 
-def rect_intersection_area(corners_a, corners_b):
-    """(..., 4, 2) x (..., 4, 2) → (...,) rotated-rect overlap area."""
+def rect_intersection_area_hull(corners_a, corners_b):
+    """(..., 4, 2) x (..., 4, 2) → (...,) overlap area via the
+    candidate-vertex + angle-sort construction (matches the numba eval
+    kernel's method). Kept as the slow reference oracle — the argsort
+    over 24 candidates per pair dominates NMS cost on TPU."""
     in_b = _corners_in_rect(corners_a, corners_b)  # (..., 4)
     in_a = _corners_in_rect(corners_b, corners_a)  # (..., 4)
     inter_pts, inter_valid = _segment_intersections(corners_a, corners_b)
     pts = jnp.concatenate([corners_a, corners_b, inter_pts], axis=-2)
     valid = jnp.concatenate([in_b, in_a, inter_valid], axis=-1)
     return _convex_area_from_candidates(pts, valid)
+
+
+def _green_clipped_edges(poly_edges_p0, poly_edges_p1, clip_corners):
+    """Green's-theorem contribution of each directed edge of one
+    polygon clipped to the inside of a convex clip polygon.
+
+    poly_edges_p0/p1: (..., E, 2) world-space edge endpoints.
+    clip_corners: (..., 4, 2) convex clip ring.
+    Returns (...,) summed 0.5*cross(p(t0), p(t1)) over clipped spans —
+    branch-free Liang-Barsky interval clipping, no sorting.
+    """
+    a = clip_corners
+    b = jnp.roll(clip_corners, -1, axis=-2)
+    edge = b - a  # (..., 4, 2)
+    # inward normal consistent with ring orientation: for each clip
+    # edge, inside is where cross(edge, p - a) has the ring's sign.
+    # determine ring sign from its own area
+    ring_cross = jnp.sum(
+        a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0], axis=-1,
+        keepdims=True,
+    )  # (..., 1) 2*signed area
+    sign = jnp.where(ring_cross >= 0, 1.0, -1.0)[..., None]  # (..., 1, 1)
+
+    p0 = poly_edges_p0[..., :, None, :]  # (..., E, 1, 2)
+    d = (poly_edges_p1 - poly_edges_p0)[..., :, None, :]
+    ae = a[..., None, :, :]  # (..., 1, 4, 2)
+    ee = edge[..., None, :, :]
+    # f(t) = cross(edge, p0 + t*d - a) * sign >= 0 for inside
+    f0 = (
+        ee[..., 0] * (p0[..., 1] - ae[..., 1])
+        - ee[..., 1] * (p0[..., 0] - ae[..., 0])
+    ) * sign  # (..., E, 4)
+    fd = (ee[..., 0] * d[..., 1] - ee[..., 1] * d[..., 0]) * sign
+    # constraint: f0 + t*fd >= 0
+    denom = jnp.where(jnp.abs(fd) < EPS, jnp.where(fd >= 0, EPS, -EPS), fd)
+    t_cross = -f0 / denom
+    lo = jnp.where(fd > 0, t_cross, 0.0)
+    hi = jnp.where(fd < 0, t_cross, 1.0)
+    # parallel & outside: infeasible
+    infeasible = (jnp.abs(fd) < EPS) & (f0 < -EPS)
+    lo = jnp.where(infeasible, 1.0, lo)
+    hi = jnp.where(infeasible, 0.0, hi)
+    t0 = jnp.clip(jnp.max(lo, axis=-1), 0.0, 1.0)  # (..., E)
+    t1 = jnp.clip(jnp.min(hi, axis=-1), 0.0, 1.0)
+    t1 = jnp.maximum(t0, t1)
+    q0 = poly_edges_p0 + t0[..., None] * (poly_edges_p1 - poly_edges_p0)
+    q1 = poly_edges_p0 + t1[..., None] * (poly_edges_p1 - poly_edges_p0)
+    contrib = 0.5 * (q0[..., 0] * q1[..., 1] - q0[..., 1] * q1[..., 0])
+    return jnp.sum(contrib, axis=-1)
+
+
+def rect_intersection_area(corners_a, corners_b):
+    """(..., 4, 2) x (..., 4, 2) → (...,) rotated-rect overlap area.
+
+    Sort-free exact method: by Green's theorem, the (convex) boundary
+    of A∩B consists of A's edges clipped into B plus B's edges clipped
+    into A; the signed shoelace contributions of those clipped spans
+    sum to the signed area, in ANY order. Each edge clip is a 4-
+    constraint Liang-Barsky interval — ~100 flops/pair, pure VPU math,
+    ~50x cheaper than the angle-sort construction on TPU.
+    """
+    a0 = corners_a
+    a1 = jnp.roll(corners_a, -1, axis=-2)
+    b0 = corners_b
+    b1 = jnp.roll(corners_b, -1, axis=-2)
+    area = _green_clipped_edges(a0, a1, corners_b) + _green_clipped_edges(
+        b0, b1, corners_a
+    )
+    return jnp.abs(area)
 
 
 def boxes_overlap_bev(boxes_a, boxes_b):
