@@ -122,7 +122,8 @@ def rect_intersection_area_hull(corners_a, corners_b):
     return _convex_area_from_candidates(pts, valid)
 
 
-def _green_clipped_edges(poly_edges_p0, poly_edges_p1, clip_corners):
+def _green_clipped_edges(poly_edges_p0, poly_edges_p1, clip_corners,
+                         boundary_eps: float = 0.0):
     """Green's-theorem contribution of each directed edge of one
     polygon clipped to the inside of a convex clip polygon.
 
@@ -151,7 +152,7 @@ def _green_clipped_edges(poly_edges_p0, poly_edges_p1, clip_corners):
     f0 = (
         ee[..., 0] * (p0[..., 1] - ae[..., 1])
         - ee[..., 1] * (p0[..., 0] - ae[..., 0])
-    ) * sign  # (..., E, 4)
+    ) * sign - boundary_eps  # (..., E, 4)
     fd = (ee[..., 0] * d[..., 1] - ee[..., 1] * d[..., 0]) * sign
     # constraint: f0 + t*fd >= 0
     denom = jnp.where(jnp.abs(fd) < EPS, jnp.where(fd >= 0, EPS, -EPS), fd)
@@ -185,8 +186,11 @@ def rect_intersection_area(corners_a, corners_b):
     a1 = jnp.roll(corners_a, -1, axis=-2)
     b0 = corners_b
     b1 = jnp.roll(corners_b, -1, axis=-2)
+    # shared boundary segments (coincident edges, e.g. identical boxes)
+    # belong to both ∂A∩B and ∂B∩A — tighten the second pass by a tiny
+    # epsilon so they are counted exactly once (area error ≤ perimeter·ε)
     area = _green_clipped_edges(a0, a1, corners_b) + _green_clipped_edges(
-        b0, b1, corners_a
+        b0, b1, corners_a, boundary_eps=1e-5
     )
     return jnp.abs(area)
 
