@@ -1,0 +1,137 @@
+"""Evaluation CLI.
+
+Parity: reference core/tools/test.py — single-checkpoint eval or
+watch-dir repeated eval (polls the ckpt dir, records evaluated epochs
+in an eval_list file, :86-132).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import re
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from ..config import cfg, cfg_from_list, cfg_from_yaml_file
+from ..datasets import build_dataloader
+from ..models import build_network
+from ..train import build_optimizer_and_schedule, create_train_state
+from ..train.checkpoint import list_checkpoints, restore_checkpoint
+from ..train.eval_utils import eval_one_epoch
+from ..utils.common_utils import create_logger
+
+
+def parse_config():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg_file", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--extra_tag", type=str, default="default")
+    parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--eval_all", action="store_true",
+                        help="watch ckpt dir and evaluate new checkpoints")
+    parser.add_argument("--max_waiting_mins", type=int, default=30)
+    parser.add_argument("--save_to_file", action="store_true")
+    parser.add_argument(
+        "--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER
+    )
+    args = parser.parse_args()
+    cfg_from_yaml_file(args.cfg_file, cfg)
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs, cfg)
+    return args, cfg
+
+
+def _setup(args, logger):
+    batch_size = args.batch_size or cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU
+    test_set, test_loader = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size,
+        root_path=cfg.DATA_CONFIG.get("DATA_PATH"),
+        training=False, workers=args.workers, logger=logger,
+    )
+    model = build_network(
+        cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=test_set
+    )
+    sample_batch = test_set.collate_batch(
+        [test_set.getitem_prepared(0)]
+    )
+    device_keys = ("points", "points_mask", "gt_boxes")
+    sample = {k: sample_batch[k] for k in device_keys if k in sample_batch}
+    variables = model.init(jax.random.PRNGKey(0), dict(sample), train=False)
+    optimizer, _ = build_optimizer_and_schedule(
+        cfg.OPTIMIZATION, variables["params"], steps_per_epoch=1
+    )
+    state = create_train_state(model, optimizer, sample)
+    return model, state, test_set, test_loader
+
+
+def eval_ckpt(model, state, ckpt, test_set, test_loader, result_dir, args,
+              logger):
+    state, meta = restore_checkpoint(ckpt, state)
+    host = jax.tree_util.tree_map(np.asarray, state)
+    ret, _ = eval_one_epoch(
+        model, host.params, host.batch_stats, test_loader, test_set,
+        cfg.MODEL, cfg.CLASS_NAMES, result_dir=result_dir,
+        logger=logger, save_to_file=args.save_to_file,
+    )
+    return ret, state
+
+
+def main():
+    args, _ = parse_config()
+    output_dir = (
+        Path("output") / cfg.EXP_GROUP_PATH / cfg.TAG / args.extra_tag
+    )
+    eval_dir = output_dir / "eval"
+    eval_dir.mkdir(parents=True, exist_ok=True)
+    log_file = eval_dir / (
+        "log_eval_%s.txt" % datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+    )
+    logger = create_logger(log_file, rank=jax.process_index())
+    model, state, test_set, test_loader = _setup(args, logger)
+
+    if not args.eval_all:
+        assert args.ckpt is not None, "--ckpt required without --eval_all"
+        eval_ckpt(
+            model, state, args.ckpt, test_set, test_loader,
+            eval_dir / "single", args, logger,
+        )
+        return
+
+    # repeated eval: poll the ckpt dir (reference test.py:86-132)
+    ckpt_dir = output_dir / "ckpt"
+    record_file = eval_dir / "eval_list_val.txt"
+    evaluated = set()
+    if record_file.exists():
+        evaluated = set(record_file.read_text().split())
+    wait_start = time.time()
+    while True:
+        todo = [
+            c for c in list_checkpoints(ckpt_dir) if c.name not in evaluated
+        ]
+        if not todo:
+            if time.time() - wait_start > args.max_waiting_mins * 60:
+                logger.info("max waiting time reached, exiting")
+                break
+            time.sleep(30)
+            continue
+        for ckpt in todo:
+            m = re.match(r"checkpoint_epoch_(\d+)", ckpt.name)
+            epoch = m.group(1) if m else ckpt.name
+            logger.info(f"evaluating {ckpt}")
+            ret, state = eval_ckpt(
+                model, state, ckpt, test_set, test_loader,
+                eval_dir / f"epoch_{epoch}", args, logger,
+            )
+            evaluated.add(ckpt.name)
+            with open(record_file, "a") as f:
+                print(ckpt.name, file=f)
+            wait_start = time.time()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Training CLI.
+
+Parity: reference core/tools/train.py — argparse → dataloader →
+network → optimizer → train loop → post-training eval. DDP/NCCL init
+is replaced by jax.distributed (multi-host) + a data-parallel mesh.
+
+Usage:
+  python -m de6d_tpu.tools.train --cfg_file configs/kitti_models/pointpillar.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from ..config import cfg, cfg_from_list, cfg_from_yaml_file
+from ..datasets import build_dataloader
+from ..models import build_network
+from ..train import (
+    build_optimizer_and_schedule, create_train_state, make_train_step,
+)
+from ..train.checkpoint import latest_checkpoint, restore_checkpoint
+from ..train.eval_utils import eval_one_epoch
+from ..train.train_loop import train_model
+from ..utils.common_utils import create_logger, set_random_seed
+
+
+def parse_config():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg_file", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--extra_tag", type=str, default="default")
+    parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--pretrained_model", type=str, default=None)
+    parser.add_argument("--fix_random_seed", action="store_true")
+    parser.add_argument("--ckpt_save_interval", type=int, default=1)
+    parser.add_argument("--max_ckpt_save_num", type=int, default=30)
+    parser.add_argument(
+        "--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER
+    )
+    args = parser.parse_args()
+    cfg_from_yaml_file(args.cfg_file, cfg)
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs, cfg)
+    return args, cfg
+
+
+def main():
+    args, _ = parse_config()
+    if args.fix_random_seed:
+        set_random_seed(666 + jax.process_index())
+
+    batch_size = args.batch_size or cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU
+    epochs = args.epochs or cfg.OPTIMIZATION.NUM_EPOCHS
+
+    output_dir = (
+        Path("output") / cfg.EXP_GROUP_PATH / cfg.TAG / args.extra_tag
+    )
+    ckpt_dir = output_dir / "ckpt"
+    output_dir.mkdir(parents=True, exist_ok=True)
+    log_file = output_dir / (
+        "log_train_%s.txt" % datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+    )
+    logger = create_logger(log_file, rank=jax.process_index())
+    logger.info(f"devices: {jax.devices()}")
+
+    try:
+        from tensorboardX import SummaryWriter
+
+        tb_log = (
+            SummaryWriter(str(output_dir / "tensorboard"))
+            if jax.process_index() == 0 else None
+        )
+    except ImportError:
+        tb_log = None
+
+    train_set, train_loader = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size,
+        root_path=cfg.DATA_CONFIG.get("DATA_PATH"),
+        training=True, workers=args.workers, logger=logger,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+    model = build_network(
+        cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=train_set
+    )
+
+    sample = next(iter(train_loader))
+    device_keys = ("points", "points_mask", "gt_boxes")
+    sample = {k: sample[k] for k in device_keys if k in sample}
+
+    optimizer, lr_schedule = None, None
+
+    def build_opt(params):
+        return build_optimizer_and_schedule(
+            cfg.OPTIMIZATION, params, steps_per_epoch=len(train_loader)
+        )
+
+    variables = model.init(jax.random.PRNGKey(0), dict(sample), train=False)
+    optimizer, lr_schedule = build_opt(variables["params"])
+    state = create_train_state(model, optimizer, sample)
+
+    start_epoch = 0
+    ckpt = args.ckpt or latest_checkpoint(ckpt_dir)
+    if ckpt is not None:
+        state, meta = restore_checkpoint(ckpt, state)
+        start_epoch = int(meta.get("epoch", 0))
+        logger.info(f"resumed from {ckpt} (epoch {start_epoch})")
+
+    logger.info(
+        f"start training {cfg.TAG} ({start_epoch}→{epochs} epochs, "
+        f"{len(train_loader)} steps/epoch, global batch {batch_size})"
+    )
+    state = train_model(
+        model, optimizer, state, train_loader, cfg.OPTIMIZATION,
+        start_epoch=start_epoch, total_epochs=epochs,
+        ckpt_dir=ckpt_dir, ckpt_save_interval=args.ckpt_save_interval,
+        max_ckpt_save_num=args.max_ckpt_save_num,
+        tb_log=tb_log, logger=logger, lr_schedule=lr_schedule,
+    )
+
+    # post-training eval (reference train.py:181-199)
+    logger.info("training done, running evaluation")
+    test_set, test_loader = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size,
+        root_path=cfg.DATA_CONFIG.get("DATA_PATH"),
+        training=False, workers=args.workers, logger=logger,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+    eval_dir = output_dir / "eval" / "eval_with_train"
+    host_state = jax.tree_util.tree_map(np.asarray, state)
+    eval_one_epoch(
+        model, host_state.params, host_state.batch_stats, test_loader,
+        test_set, cfg.MODEL, cfg.CLASS_NAMES,
+        result_dir=eval_dir, logger=logger,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Checkpoint save/restore (orbax).
+
+Parity: reference train_utils checkpoint_state/save_checkpoint
+(train_utils.py:145-178: {epoch, it, model_state, optimizer_state,
+version}, ring pruning to max_ckpt_save_num) and
+Detector3DTemplate.load_params_from_file (:330-411: partial load for
+pretrained backbones). Orbax sharded checkpoints replace torch.save —
+they restore with the same shardings on any mesh.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import orbax.checkpoint as ocp
+
+from .. import version
+
+
+def _checkpointer():
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(ckpt_dir, state, epoch: int, max_keep: int = 30):
+    """Save TrainState under ckpt_dir/checkpoint_epoch_<n>."""
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    path = (ckpt_dir / f"checkpoint_epoch_{epoch}").resolve()
+    with _checkpointer() as cp:
+        cp.save(
+            path,
+            {
+                "state": state,
+                "meta": {"epoch": epoch, "version": version.__version__},
+            },
+            force=True,
+        )
+    prune_checkpoints(ckpt_dir, max_keep)
+    return path
+
+
+def list_checkpoints(ckpt_dir):
+    ckpt_dir = Path(ckpt_dir)
+    if not ckpt_dir.exists():
+        return []
+    ckpts = []
+    for p in ckpt_dir.glob("checkpoint_epoch_*"):
+        m = re.match(r"checkpoint_epoch_(\d+)", p.name)
+        if m:
+            ckpts.append((int(m.group(1)), p))
+    return [p for _, p in sorted(ckpts)]
+
+
+def prune_checkpoints(ckpt_dir, max_keep: int):
+    """Ring pruning (reference train_utils.py:125-130)."""
+    import shutil
+
+    ckpts = list_checkpoints(ckpt_dir)
+    while len(ckpts) > max_keep:
+        shutil.rmtree(ckpts.pop(0), ignore_errors=True)
+
+
+def restore_checkpoint(path, abstract_state):
+    """Restore into the structure of ``abstract_state`` (a TrainState
+    built with create_train_state on matching shapes)."""
+    with _checkpointer() as cp:
+        restored = cp.restore(
+            Path(path).resolve(),
+            {
+                "state": abstract_state,
+                "meta": {"epoch": 0, "version": ""},
+            },
+        )
+    return restored["state"], restored["meta"]
+
+
+def latest_checkpoint(ckpt_dir):
+    ckpts = list_checkpoints(ckpt_dir)
+    return ckpts[-1] if ckpts else None

@@ -1,0 +1,90 @@
+"""Training loop.
+
+Parity: reference tools/train_utils/train_utils.py train_one_epoch /
+train_model (:11-135): per-iter LR scheduling (inside the optax
+schedule), grad clipping (inside the optax chain), timing meters,
+tqdm, TB scalars, periodic checkpoints. The forward+backward+update is
+ONE jitted SPMD step; host work per iter is only the input pipeline.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from ..parallel import make_mesh, shard_batch
+from ..utils.common_utils import AverageMeter
+from .checkpoint import save_checkpoint
+from .train_state import make_train_step
+
+
+def train_model(
+    model,
+    optimizer,
+    state,
+    train_loader,
+    opt_cfg,
+    start_epoch: int = 0,
+    total_epochs: int = 80,
+    ckpt_dir=None,
+    ckpt_save_interval: int = 1,
+    max_ckpt_save_num: int = 30,
+    tb_log=None,
+    logger=None,
+    lr_schedule=None,
+    mesh=None,
+    log_interval: int = 50,
+):
+    mesh = mesh or make_mesh()
+    train_step = make_train_step(model, optimizer)
+    data_time = AverageMeter()
+    step_time = AverageMeter()
+
+    device_keys = ("points", "points_mask", "gt_boxes", "point_voxel_idx")
+    it = int(state.step)
+    with mesh:
+        for epoch in range(start_epoch, total_epochs):
+            train_loader.set_epoch(epoch)
+            t_end = time.perf_counter()
+            for batch in train_loader:
+                t_data = time.perf_counter() - t_end
+                dev_batch = shard_batch(
+                    {k: batch[k] for k in device_keys if k in batch}, mesh
+                )
+                state, metrics = train_step(state, dev_batch)
+                metrics["loss"].block_until_ready()
+                t_step = time.perf_counter() - t_end - t_data
+                data_time.update(t_data)
+                step_time.update(t_step)
+                it += 1
+                if tb_log is not None and it % log_interval == 0:
+                    for k, v in metrics.items():
+                        tb_log.add_scalar(f"train/{k}", float(v), it)
+                    if lr_schedule is not None:
+                        tb_log.add_scalar(
+                            "meta_data/learning_rate",
+                            float(lr_schedule(it)), it,
+                        )
+                if logger is not None and it % log_interval == 0:
+                    logger.info(
+                        f"epoch {epoch} it {it} "
+                        f"loss {float(metrics['loss']):.4f} "
+                        f"data {data_time.avg * 1e3:.0f}ms "
+                        f"step {step_time.avg * 1e3:.0f}ms"
+                    )
+                t_end = time.perf_counter()
+
+            if (
+                ckpt_dir is not None
+                and jax.process_index() == 0
+                and (epoch + 1) % ckpt_save_interval == 0
+            ):
+                host_state = jax.tree_util.tree_map(np.asarray, state)
+                save_checkpoint(
+                    ckpt_dir, host_state, epoch + 1, max_ckpt_save_num
+                )
+                if logger:
+                    logger.info(f"saved checkpoint epoch {epoch + 1}")
+    return state
