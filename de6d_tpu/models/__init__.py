@@ -13,6 +13,7 @@ from ..registry import DETECTORS
 from . import backbones_3d  # noqa: F401  (registers VFEs/backbones)
 from . import backbones_2d  # noqa: F401
 from . import dense_heads  # noqa: F401
+from . import roi_heads  # noqa: F401
 from . import detectors  # noqa: F401  (registers detectors)
 
 

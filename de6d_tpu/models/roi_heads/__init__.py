@@ -1,0 +1,3 @@
+from .pointrcnn_head import PointRCNNHead
+
+__all__ = ["PointRCNNHead"]

@@ -1,0 +1,228 @@
+"""Sparse 3D convolution as gather-scatter GEMM — pure XLA.
+
+TPU-native replacement for the spconv library used by the reference's
+voxel backbones (core/pcdet/models/backbones_3d/spconv_backbone.py).
+Design (SURVEY.md §7.4 item 2):
+
+- A sparse tensor is (features (V, C), keys (V,), valid (V,)) per
+  sample with STATIC capacity V; ``keys`` are z-major linearized
+  coordinates SORTED ascending (invalid = INT32_MAX sentinel), so
+  neighbor lookup is a searchsorted binary search instead of a hash
+  table.
+- Submanifold conv: for each of the K³ kernel offsets, look up the
+  neighbor of every active site, gather its features (zeros on miss),
+  and run ONE fused GEMM (V, K³·Cin) × (K³·Cin, Cout) — the compute
+  lands on the MXU as a single large matmul.
+- Strided conv: candidate outputs = unique(floor((coords+pad)/stride));
+  inputs are gathered from each output's receptive field with the same
+  keyed lookup. For kernel 3 / stride 2 / pad 1 (every layer in the
+  reference backbone) the active-output rule matches spconv exactly.
+
+Everything is fixed-shape and recompile-free across frames.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+INVALID = jnp.iinfo(jnp.int32).max
+_HI = jax.lax.Precision.HIGHEST
+
+
+def coords_to_keys(coords, grid, valid=None):
+    """(V, 3) zyx int coords + grid (nz, ny, nx) → (V,) sorted-able
+    linear keys (invalid/out-of-range → INVALID)."""
+    nz, ny, nx = grid
+    z, y, x = coords[:, 0], coords[:, 1], coords[:, 2]
+    ok = (
+        (z >= 0) & (z < nz) & (y >= 0) & (y < ny) & (x >= 0) & (x < nx)
+    )
+    if valid is not None:
+        ok = ok & valid
+    key = (z * ny + y) * nx + x
+    return jnp.where(ok, key, INVALID)
+
+
+def keys_to_coords(keys, grid):
+    nz, ny, nx = grid
+    z = keys // (ny * nx)
+    rem = keys - z * (ny * nx)
+    y = rem // nx
+    x = rem - y * nx
+    coords = jnp.stack([z, y, x], axis=-1)
+    return jnp.where(keys[:, None] != INVALID, coords, -1)
+
+
+def sort_sparse(features, keys):
+    """Sort sites by key ascending (invalid to the end)."""
+    order = jnp.argsort(keys)
+    return features[order], keys[order]
+
+
+def lookup(keys_sorted, query_keys):
+    """Binary-search lookup: returns (idx (Q,), hit (Q,))."""
+    v = keys_sorted.shape[0]
+    idx = jnp.searchsorted(keys_sorted, query_keys)
+    idx = jnp.clip(idx, 0, v - 1)
+    hit = (keys_sorted[idx] == query_keys) & (query_keys != INVALID)
+    return idx, hit
+
+
+def _kernel_offsets(kernel):
+    """Kernel size (kz, ky, kx) → (K, 3) offsets centered (for subm)."""
+    kz, ky, kx = kernel
+    oz, oy, ox = jnp.meshgrid(
+        jnp.arange(kz) - kz // 2,
+        jnp.arange(ky) - ky // 2,
+        jnp.arange(kx) - kx // 2,
+        indexing="ij",
+    )
+    return jnp.stack(
+        [oz.ravel(), oy.ravel(), ox.ravel()], axis=-1
+    )  # (K, 3)
+
+
+def gather_neighbors(features, keys_sorted, query_coords, offsets, grid,
+                     query_valid):
+    """For each query site and kernel offset, gather the neighbor
+    features (zeros on miss). Returns (Q, K, C)."""
+    q = query_coords.shape[0]
+    k = offsets.shape[0]
+    nbr = query_coords[:, None, :] + offsets[None, :, :]  # (Q, K, 3)
+    nbr_keys = coords_to_keys(
+        nbr.reshape(-1, 3), grid,
+        jnp.repeat(query_valid, k),
+    )
+    idx, hit = lookup(keys_sorted, nbr_keys)
+    gathered = jnp.where(
+        hit[:, None], features[idx], 0.0
+    )
+    return gathered.reshape(q, k, features.shape[-1])
+
+
+def subm_conv(features, keys_sorted, grid, weights, kernel=(3, 3, 3),
+              valid=None):
+    """Submanifold sparse conv.
+
+    features: (V, Cin) sorted by key; keys_sorted: (V,);
+    weights: (K, Cin, Cout) with K = prod(kernel).
+    Output at the same active sites: (V, Cout).
+    """
+    k3, cin, cout = weights.shape
+    assert k3 == kernel[0] * kernel[1] * kernel[2]
+    coords = keys_to_coords(keys_sorted, grid)
+    if valid is None:
+        valid = keys_sorted != INVALID
+    offsets = _kernel_offsets(kernel)
+    gathered = gather_neighbors(
+        features, keys_sorted, coords, offsets, grid, valid
+    )  # (V, K, Cin)
+    out = jax.lax.dot_general(
+        gathered.reshape(-1, k3 * cin),
+        weights.reshape(k3 * cin, cout),
+        (((1,), (0,)), ((), ())),
+    )
+    return jnp.where(valid[:, None], out, 0.0)
+
+
+def downsample_coords(keys_sorted, grid, stride, padding, max_out: int,
+                      kernel=(3, 3, 3)):
+    """Active-output discovery for a strided conv: an output site is
+    active iff ANY input lies in its receptive field (spconv rule).
+    Per axis an input p is covered by outputs
+    o ∈ [ceil((p + pad − k + 1)/s), floor((p + pad)/s)] — up to
+    ceil(k/s) candidates; we enumerate the full candidate product and
+    unique with a static cap.
+
+    Returns (out_keys_sorted (max_out,), out_grid)."""
+    sz, sy, sx = stride
+    pz, py, px = padding
+    kz, ky, kx = kernel
+    nz, ny, nx = grid
+    out_grid = (
+        (nz + 2 * pz - kz) // sz + 1,
+        (ny + 2 * py - ky) // sy + 1,
+        (nx + 2 * px - kx) // sx + 1,
+    )
+    coords = keys_to_coords(keys_sorted, grid)
+    valid = keys_sorted != INVALID
+
+    def axis_candidates(p, pad, k, s, n_out):
+        lo = -(-(p + pad - k + 1) // s)  # ceil div
+        hi = (p + pad) // s
+        n_cand = -(-k // s)
+        cand = lo[:, None] + jnp.arange(n_cand)[None, :]
+        ok = (cand >= jnp.maximum(lo, 0)[:, None]) & (
+            cand <= jnp.minimum(hi, n_out - 1)[:, None]
+        )
+        return cand, ok  # (V, n_cand)
+
+    cz, okz = axis_candidates(coords[:, 0], pz, kz, sz, out_grid[0])
+    cy, oky = axis_candidates(coords[:, 1], py, ky, sy, out_grid[1])
+    cx, okx = axis_candidates(coords[:, 2], px, kx, sx, out_grid[2])
+    # product of per-axis candidates: (V, Nz, Ny, Nx)
+    oc_z = cz[:, :, None, None]
+    oc_y = cy[:, None, :, None]
+    oc_x = cx[:, None, None, :]
+    ok = (
+        okz[:, :, None, None] & oky[:, None, :, None] & okx[:, None, None, :]
+        & valid[:, None, None, None]
+    )
+    keys = (
+        (oc_z * out_grid[1] + oc_y) * out_grid[2] + oc_x
+    )
+    keys = jnp.where(ok, keys, INVALID).reshape(-1)
+    uniq = jnp.unique(keys, size=max_out, fill_value=INVALID)
+    return uniq, out_grid
+
+
+def strided_conv(features, keys_sorted, grid, weights, kernel, stride,
+                 padding, out_keys_sorted, out_grid):
+    """Strided sparse conv onto precomputed output sites.
+
+    out[o] = Σ_k W_k · in[o*stride − pad + k]. weights: (K, Cin, Cout).
+    """
+    k3, cin, cout = weights.shape
+    kz, ky, kx = kernel
+    sz, sy, sx = stride
+    pz, py, px = padding
+    out_coords = keys_to_coords(out_keys_sorted, out_grid)
+    out_valid = out_keys_sorted != INVALID
+
+    oz, oy, ox = jnp.meshgrid(
+        jnp.arange(kz), jnp.arange(ky), jnp.arange(kx), indexing="ij"
+    )
+    offs = jnp.stack([oz.ravel(), oy.ravel(), ox.ravel()], -1)  # (K, 3)
+    base = jnp.stack(
+        [
+            out_coords[:, 0] * sz - pz,
+            out_coords[:, 1] * sy - py,
+            out_coords[:, 2] * sx - px,
+        ],
+        axis=-1,
+    )  # (Q, 3)
+    nbr = base[:, None, :] + offs[None, :, :]
+    q = out_coords.shape[0]
+    nbr_keys = coords_to_keys(
+        nbr.reshape(-1, 3), grid, jnp.repeat(out_valid, k3)
+    )
+    idx, hit = lookup(keys_sorted, nbr_keys)
+    gathered = jnp.where(hit[:, None], features[idx], 0.0).reshape(
+        q, k3 * cin
+    )
+    out = jax.lax.dot_general(
+        gathered, weights.reshape(k3 * cin, cout), (((1,), (0,)), ((), ()))
+    )
+    return jnp.where(out_valid[:, None], out, 0.0)
+
+
+def to_dense(features, keys_sorted, grid):
+    """(V, C) sparse → (nz, ny, nx, C) dense volume."""
+    nz, ny, nx = grid
+    c = features.shape[-1]
+    valid = keys_sorted != INVALID
+    idx = jnp.where(valid, keys_sorted, nz * ny * nx)
+    dense = jnp.zeros((nz * ny * nx + 1, c), features.dtype)
+    dense = dense.at[idx].set(jnp.where(valid[:, None], features, 0.0))
+    return dense[:-1].reshape(nz, ny, nx, c)
