@@ -3,5 +3,6 @@ from .pointpillar import PointPillar
 from .det6d import Det6D, SSD3D
 from .second_net import SECONDNet
 from .point_rcnn import PointRCNN
+from .pv_rcnn import PVRCNN
 
-__all__ = ["Detector3DTemplate", "DatasetSpec", "PointPillar", "Det6D", "SSD3D", "SECONDNet", "PointRCNN"]
+__all__ = ["Detector3DTemplate", "DatasetSpec", "PointPillar", "Det6D", "SSD3D", "SECONDNet", "PointRCNN", "PVRCNN"]
