@@ -152,6 +152,12 @@ class _VoxelBackboneBase(nn.Module):
 
     @nn.compact
     def __call__(self, batch_dict, train: bool = False):
+        return self._encode(batch_dict, train)
+
+    def _encode(self, batch_dict, train: bool = False):
+        """Encoder body — a plain helper so subclasses (UNetV2) can
+        extend it inside their own compact __call__ (flax allows only
+        one @compact method per class)."""
         feats = batch_dict["voxel_features"]  # (B, V, C)
         coords = batch_dict["voxel_coords"]  # (B, V, 3) zyx
         nx, ny, nz = (

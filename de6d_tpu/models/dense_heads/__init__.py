@@ -1,5 +1,7 @@
 from .anchor_head import AnchorHeadSingle
 from .point_head_vote import PointHeadBoxVote, PointHeadBox6DVote
 from .point_head_box import PointHeadBox, PointHeadSimple
+from .center_head import CenterHead
+from .point_intra_part_head import PointIntraPartOffsetHead
 
-__all__ = ["AnchorHeadSingle", "PointHeadBoxVote", "PointHeadBox6DVote", "PointHeadBox", "PointHeadSimple"]
+__all__ = ["AnchorHeadSingle", "PointHeadBoxVote", "PointHeadBox6DVote", "PointHeadBox", "PointHeadSimple", "CenterHead", "PointIntraPartOffsetHead"]

@@ -4,5 +4,9 @@ from .det6d import Det6D, SSD3D
 from .second_net import SECONDNet
 from .point_rcnn import PointRCNN
 from .pv_rcnn import PVRCNN
+from .center_point import CenterPoint
+from .second_net_iou import SECONDNetIoU
+from .parta2_net import PartA2Net
+from .voxel_rcnn import VoxelRCNN
 
-__all__ = ["Detector3DTemplate", "DatasetSpec", "PointPillar", "Det6D", "SSD3D", "SECONDNet", "PointRCNN", "PVRCNN"]
+__all__ = ["Detector3DTemplate", "DatasetSpec", "PointPillar", "Det6D", "SSD3D", "SECONDNet", "PointRCNN", "PVRCNN", "CenterPoint", "SECONDNetIoU", "PartA2Net", "VoxelRCNN"]

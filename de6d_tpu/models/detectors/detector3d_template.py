@@ -140,8 +140,17 @@ class Detector3DTemplate(nn.Module):
             modules.append(self.point_head)
 
         if "ROI_HEAD" in cfg:
-            self.roi_head = ROI_HEADS.get(cfg["ROI_HEAD"]["NAME"])(
-                model_cfg=cfg["ROI_HEAD"], num_class=self.num_class
+            roi_cls = ROI_HEADS.get(cfg["ROI_HEAD"]["NAME"])
+            extra = (
+                dict(
+                    point_cloud_range=tuple(spec.point_cloud_range),
+                    voxel_size=tuple(spec.voxel_size),
+                )
+                if roi_cls.__name__ == "SECONDHead"
+                else {}
+            )
+            self.roi_head = roi_cls(
+                model_cfg=cfg["ROI_HEAD"], num_class=self.num_class, **extra
             )
             modules.append(self.roi_head)
 
@@ -179,6 +188,14 @@ class Detector3DTemplate(nn.Module):
         return batch_dict
 
     def apply_modules(self, batch_dict, train: bool):
+        spec = self.spec
+        batch_dict.setdefault(
+            "voxel_size_xyz", jnp.asarray(spec.voxel_size, jnp.float32)
+        )
+        batch_dict.setdefault(
+            "pc_range_min",
+            jnp.asarray(spec.point_cloud_range[:3], jnp.float32),
+        )
         batch_dict = self.maybe_voxelize(batch_dict)
         for m in self.module_list:
             batch_dict = m(batch_dict, train=train)

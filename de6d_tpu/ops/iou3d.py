@@ -195,18 +195,77 @@ def rect_intersection_area(corners_a, corners_b):
     return jnp.abs(area)
 
 
+def _pairwise_green_pass(px, py, qx, qy, row_is_p: bool, boundary_eps):
+    """One Green's pass: edges of polygon P clipped inside polygon Q,
+    structure-of-arrays over the (N, M) pair grid.
+
+    px, py: lists of 4 per-corner coordinate vectors of P;
+    qx, qy: same for Q. When row_is_p, P vectors are (N,)-shaped (rows)
+    and Q vectors (M,)-shaped (cols); else swapped. All arithmetic is
+    (N, M)-shaped — the pair grid stays in the VPU lanes (the packed
+    (..., 4, 2) formulation leaves 4/2-sized minor dims that tile
+    terribly; this unrolled form is ~5x faster on v5e).
+
+    Assumes both rings share the (clockwise) template orientation of
+    boxes_to_corners_bev, so the orientation sign is the constant −1.
+    """
+    def row(v):
+        return v[:, None] if row_is_p else v[None, :]
+
+    def col(v):
+        return v[None, :] if row_is_p else v[:, None]
+
+    total = 0.0
+    for e in range(4):
+        p0x, p0y = row(px[e]), row(py[e])
+        p1x, p1y = row(px[(e + 1) % 4]), row(py[(e + 1) % 4])
+        dx = p1x - p0x
+        dy = p1y - p0y
+        t0 = None
+        t1 = None
+        for c in range(4):
+            a0x, a0y = col(qx[c]), col(qy[c])
+            ex = col(qx[(c + 1) % 4]) - a0x
+            ey = col(qy[(c + 1) % 4]) - a0y
+            # inside test with CW orientation: -cross(edge, p - a) >= eps
+            f0 = -(ex * (p0y - a0y) - ey * (p0x - a0x)) - boundary_eps
+            fd = -(ex * dy - ey * dx)
+            small = jnp.abs(fd) < EPS
+            denom = jnp.where(small, jnp.where(fd >= 0, EPS, -EPS), fd)
+            t_cross = -f0 / denom
+            lo = jnp.where(fd > 0, t_cross, 0.0)
+            hi = jnp.where(fd < 0, t_cross, 1.0)
+            infeasible = small & (f0 < -EPS)
+            lo = jnp.where(infeasible, 1.0, lo)
+            hi = jnp.where(infeasible, 0.0, hi)
+            t0 = lo if t0 is None else jnp.maximum(t0, lo)
+            t1 = hi if t1 is None else jnp.minimum(t1, hi)
+        t0 = jnp.clip(t0, 0.0, 1.0)
+        t1 = jnp.maximum(t0, jnp.clip(t1, 0.0, 1.0))
+        q0x = p0x + t0 * dx
+        q0y = p0y + t0 * dy
+        q1x = p0x + t1 * dx
+        q1y = p0y + t1 * dy
+        total = total + 0.5 * (q0x * q1y - q0y * q1x)
+    return total
+
+
 def boxes_overlap_bev(boxes_a, boxes_b):
     """Pairwise rotated BEV overlap area.
 
     boxes_a: (N, 7+), boxes_b: (M, 7+) → (N, M) float32.
-    Parity: iou3d_nms boxes_overlap_bev_gpu.
+    Parity: iou3d_nms boxes_overlap_bev_gpu. Uses the unrolled SoA
+    Green's/Liang-Barsky kernel (see _pairwise_green_pass).
     """
     ca = boxes_to_corners_bev(boxes_a)  # (N, 4, 2)
     cb = boxes_to_corners_bev(boxes_b)  # (M, 4, 2)
-    n, m = ca.shape[0], cb.shape[0]
-    ca_ = jnp.broadcast_to(ca[:, None], (n, m, 4, 2))
-    cb_ = jnp.broadcast_to(cb[None, :], (n, m, 4, 2))
-    return rect_intersection_area(ca_, cb_)
+    ax = [ca[:, i, 0] for i in range(4)]
+    ay = [ca[:, i, 1] for i in range(4)]
+    bx = [cb[:, i, 0] for i in range(4)]
+    by = [cb[:, i, 1] for i in range(4)]
+    area = _pairwise_green_pass(ax, ay, bx, by, True, 0.0)
+    area = area + _pairwise_green_pass(bx, by, ax, ay, False, 1e-5)
+    return jnp.abs(area)
 
 
 def boxes_iou_bev(boxes_a, boxes_b):
