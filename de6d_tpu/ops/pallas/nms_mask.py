@@ -23,26 +23,33 @@ from jax.experimental.pallas import tpu as pltpu
 EPS = 1e-8
 
 
-def _overlap_tile(rows, cols):
-    """rows: (BR, 10) [4x corner x, 4x corner y(interleaved), area...];
-    layout: rows[:, 0:4] corner x, rows[:, 4:8] corner y, rows[:, 8]
-    area. cols likewise. Returns (BR, BC) overlap area."""
-    br = rows.shape[0]
-    bc = cols.shape[0]
+def _make_mask_kernel(thresh: float):
+    def _mask_kernel(rows_ref, cols_ref, out_ref):
+        rows = rows_ref[:]  # (16, BR) — row-side packed coords
+        cols = cols_ref[:]  # (16, BC)
+        rx = [rows[i, :][:, None] for i in range(4)]
+        ry = [rows[4 + i, :][:, None] for i in range(4)]
+        cx = [cols[i, :][None, :] for i in range(4)]
+        cy = [cols[4 + i, :][None, :] for i in range(4)]
+        overlap = _green_tile(rx, ry, cx, cy)
+        area_r = rows[8, :][:, None]
+        area_c = cols[8, :][None, :]
+        union = jnp.maximum(area_r + area_c - overlap, EPS)
+        iou = overlap / union
+        out_ref[:] = (iou > thresh).astype(jnp.float32)
 
-    rx = [rows[:, i][:, None] for i in range(4)]
-    ry = [rows[:, 4 + i][:, None] for i in range(4)]
-    cx = [cols[:, i][None, :] for i in range(4)]
-    cy = [cols[:, 4 + i][None, :] for i in range(4)]
+    return _mask_kernel
 
+
+def _green_tile(rx, ry, cx, cy):
     def green_pass(px, py, qx, qy, eps_b):
-        total = jnp.zeros((br, bc), jnp.float32)
+        total = None
         for e in range(4):
             p0x, p0y = px[e], py[e]
             dx = px[(e + 1) % 4] - p0x
             dy = py[(e + 1) % 4] - p0y
-            t0 = jnp.zeros((br, bc), jnp.float32)
-            t1 = jnp.ones((br, bc), jnp.float32)
+            t0 = None
+            t1 = None
             for c in range(4):
                 a0x, a0y = qx[c], qy[c]
                 ex = qx[(c + 1) % 4] - a0x
@@ -57,15 +64,16 @@ def _overlap_tile(rows, cols):
                 infeasible = small & (f0 < -EPS)
                 lo = jnp.where(infeasible, 1.0, lo)
                 hi = jnp.where(infeasible, 0.0, hi)
-                t0 = jnp.maximum(t0, lo)
-                t1 = jnp.minimum(t1, hi)
+                t0 = lo if t0 is None else jnp.maximum(t0, lo)
+                t1 = hi if t1 is None else jnp.minimum(t1, hi)
             t0 = jnp.clip(t0, 0.0, 1.0)
             t1 = jnp.maximum(t0, jnp.clip(t1, 0.0, 1.0))
             q0x = p0x + t0 * dx
             q0y = p0y + t0 * dy
             q1x = p0x + t1 * dx
             q1y = p0y + t1 * dy
-            total = total + 0.5 * (q0x * q1y - q0y * q1x)
+            contrib = 0.5 * (q0x * q1y - q0y * q1x)
+            total = contrib if total is None else total + contrib
         return total
 
     area = green_pass(rx, ry, cx, cy, 0.0) + green_pass(
@@ -74,63 +82,50 @@ def _overlap_tile(rows, cols):
     return jnp.abs(area)
 
 
-def _mask_kernel(thresh_ref, rows_ref, cols_ref, out_ref):
-    rows = rows_ref[:]  # (BR, 16)
-    cols = cols_ref[:]  # (BC, 16)
-    overlap = _overlap_tile(rows, cols)
-    area_r = rows[:, 8][:, None]
-    area_c = cols[:, 8][None, :]
-    union = jnp.maximum(area_r + area_c - overlap, EPS)
-    iou = overlap / union
-    out_ref[:] = (iou > thresh_ref[0]).astype(jnp.int8)
-
-
 def _pack(boxes):
-    """(K, 7+) → (K, 16) packed [cx(4), cy(4), area, pad...] (padded to
-    a lane-friendly width)."""
+    """(K, 7+) → (16, K) packed rows [cx(4); cy(4); area; pad] — the
+    point dim rides the 128-lane axis."""
     from ..geometry import boxes_to_corners_bev
 
     corners = boxes_to_corners_bev(boxes)  # (K, 4, 2)
     area = boxes[:, 3] * boxes[:, 4]
     k = boxes.shape[0]
-    packed = jnp.zeros((k, 16), jnp.float32)
-    packed = packed.at[:, 0:4].set(corners[:, :, 0])
-    packed = packed.at[:, 4:8].set(corners[:, :, 1])
-    packed = packed.at[:, 8].set(area)
+    packed = jnp.zeros((16, k), jnp.float32)
+    packed = packed.at[0:4, :].set(corners[:, :, 0].T)
+    packed = packed.at[4:8, :].set(corners[:, :, 1].T)
+    packed = packed.at[8, :].set(area)
     return packed
 
 
-@functools.partial(jax.jit, static_argnames=("block_r", "block_c", "interpret"))
-def nms_suppression_mask(boxes, thresh, block_r: int = 256,
-                         block_c: int = 512, interpret: bool = False):
-    """(K, 7+) boxes → (K, K) int8 mask of IoU>thresh pairs."""
+@functools.partial(
+    jax.jit, static_argnames=("thresh", "block_r", "block_c", "interpret")
+)
+def nms_suppression_mask(boxes, thresh: float, block_r: int = 128,
+                         block_c: int = 256, interpret: bool = False):
+    """(K, 7+) boxes → (K, K) float32 0/1 mask of IoU>thresh pairs."""
     k = boxes.shape[0]
     block_r = min(block_r, k)
     block_c = min(block_c, k)
     packed = _pack(boxes)
-    thresh_arr = jnp.asarray([thresh], jnp.float32)
 
     grid = (pl.cdiv(k, block_r), pl.cdiv(k, block_c))
     return pl.pallas_call(
-        _mask_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (block_r, 16), lambda i, j, *_: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (block_c, 16), lambda i, j, *_: (j, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (block_r, block_c), lambda i, j, *_: (i, j),
+        _make_mask_kernel(float(thresh)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (16, block_r), lambda i, j: (0, i),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (16, block_c), lambda i, j: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_r, block_c), lambda i, j: (i, j),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((k, k), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((k, k), jnp.float32),
         interpret=interpret,
-    )(thresh_arr, packed, packed)
+    )(packed, packed)

@@ -97,12 +97,33 @@ def voxelize(
     key = (ijk[:, 2] * grid[1] + ijk[:, 1]) * grid[0] + ijk[:, 0]
     key = jnp.where(ok, key, BIG)
 
-    uniq = jnp.unique(key, size=v + 1, fill_value=BIG)
-    num_voxels = jnp.sum(uniq[:v] != BIG).astype(jnp.int32)
-    slot = jnp.searchsorted(uniq, key).astype(jnp.int32)  # (N,)
-    slot_ok = ok & (slot < v) & (uniq[jnp.clip(slot, 0, v)] == key)
+    # single-sort pipeline: one argsort yields (a) the unique key list,
+    # (b) every point's voxel slot, and (c) its within-voxel arrival
+    # rank — replacing the unique+searchsorted+argsort triple (3 sorts)
+    order = jnp.argsort(key, stable=True)
+    sorted_keys = key[order]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [sorted_keys[:1] != BIG, sorted_keys[1:] != sorted_keys[:-1]]
+    ) & (sorted_keys != BIG)
+    slot_sorted = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # dense id
+    group_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, pos, -1)
+    )
+    rank_sorted = pos - group_start
+    # scatter back to point order
+    slot = jnp.zeros((n,), jnp.int32).at[order].set(slot_sorted)
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
 
-    rank = _segment_ranks(key)
+    num_voxels = jnp.minimum(
+        jnp.sum(is_start), v
+    ).astype(jnp.int32)
+    uniq = jnp.full((v,), BIG, jnp.int32)
+    uniq = uniq.at[
+        jnp.where(is_start, slot_sorted, v)
+    ].set(jnp.where(is_start, sorted_keys, BIG), mode="drop")
+
+    slot_ok = ok & (slot >= 0) & (slot < v)
     keep = slot_ok & (rank < p)
 
     slot_w = jnp.where(keep, slot, v)
@@ -115,7 +136,7 @@ def voxelize(
     )[:v]
 
     # decode coords (z, y, x) from unique keys
-    k = uniq[:v]
+    k = uniq
     kz = k // (grid[1] * grid[0])
     rem = k - kz * grid[1] * grid[0]
     ky = rem // grid[0]
