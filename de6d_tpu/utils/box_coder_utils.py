@@ -416,3 +416,56 @@ class PointResidualCoder6D(_PointCoderBase):
 
 def build_box_coder(name: str, **kwargs):
     return BOX_CODERS.get(name)(**kwargs)
+
+
+@BOX_CODERS.register
+class PointResidual_BinOri_Coder(_PointCoderBase):
+    """IA-SSD bin-orientation point coder (reference :740-836).
+
+    Encode emits [6 offsets, bin_id, bin_res] (8 values); the head
+    expands the angle slots to 2*bin_size logits/residuals, and decode
+    consumes the expanded (6 + 2*bin_size) layout with residuals
+    normalized to [-1, 1] of a half bin.
+    """
+
+    def __init__(self, code_size=8, use_mean_size=True, bin_size=12,
+                 **kwargs):
+        super().__init__(use_mean_size, **kwargs)
+        self.bin_size = int(bin_size)
+        self.code_size = 6 + 2 * self.bin_size
+        self.bin_inter = 2 * jnp.pi / self.bin_size
+
+    def encode(self, gt_boxes, points, gt_classes=None):
+        gt_boxes = gt_boxes.at[..., 3:6].set(
+            jnp.clip(gt_boxes[..., 3:6], 1e-5, None)
+        )
+        parts = _point_offsets_encode(
+            gt_boxes, points, self.mean_size, gt_classes
+        )
+        rg = jnp.clip(
+            gt_boxes[..., 6], -jnp.pi + 1e-5, jnp.pi - 1e-5
+        )
+        bin_id = jnp.floor((rg + jnp.pi) / self.bin_inter)
+        bin_res = (
+            (rg + jnp.pi) - (bin_id * self.bin_inter + self.bin_inter / 2)
+        ) / (self.bin_inter / 2)
+        # one-hot/bin-aligned layout matching the head's prediction
+        oh = jax.nn.one_hot(bin_id.astype(jnp.int32), self.bin_size)
+        res = oh * bin_res[..., None]
+        return jnp.concatenate([jnp.stack(parts, -1), oh, res], axis=-1)
+
+    def decode(self, encodings, points, pred_classes=None):
+        out = _point_offsets_decode(
+            encodings, points, self.mean_size, pred_classes
+        )
+        nb = self.bin_size
+        bin_logits = encodings[..., 6 : 6 + nb]
+        bin_res = encodings[..., 6 + nb : 6 + 2 * nb]
+        bin_id = jnp.argmax(bin_logits, axis=-1)
+        oh = jax.nn.one_hot(bin_id, nb)
+        res = jnp.sum(bin_res * oh, axis=-1)
+        rg = (
+            bin_id.astype(res.dtype) * self.bin_inter - jnp.pi
+            + self.bin_inter / 2 + res * (self.bin_inter / 2)
+        )
+        return jnp.stack(out + [rg], axis=-1)
