@@ -10,6 +10,7 @@ they restore with the same shardings on any mesh.
 
 from __future__ import annotations
 
+import json
 import re
 from pathlib import Path
 
@@ -28,14 +29,11 @@ def save_checkpoint(ckpt_dir, state, epoch: int, max_keep: int = 30):
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     path = (ckpt_dir / f"checkpoint_epoch_{epoch}").resolve()
     with _checkpointer() as cp:
-        cp.save(
-            path,
-            {
-                "state": state,
-                "meta": {"epoch": epoch, "version": version.__version__},
-            },
-            force=True,
-        )
+        cp.save(path, {"state": state}, force=True)
+    # orbax StandardCheckpointer stores arrays only — meta rides a
+    # json sidecar (epoch, framework version)
+    with open(str(path) + ".meta.json", "w") as f:
+        json.dump({"epoch": epoch, "version": version.__version__}, f)
     prune_checkpoints(ckpt_dir, max_keep)
     return path
 
@@ -46,7 +44,7 @@ def list_checkpoints(ckpt_dir):
         return []
     ckpts = []
     for p in ckpt_dir.glob("checkpoint_epoch_*"):
-        m = re.match(r"checkpoint_epoch_(\d+)", p.name)
+        m = re.fullmatch(r"checkpoint_epoch_(\d+)", p.name)
         if m:
             ckpts.append((int(m.group(1)), p))
     return [p for _, p in sorted(ckpts)]
@@ -58,21 +56,22 @@ def prune_checkpoints(ckpt_dir, max_keep: int):
 
     ckpts = list_checkpoints(ckpt_dir)
     while len(ckpts) > max_keep:
-        shutil.rmtree(ckpts.pop(0), ignore_errors=True)
+        stale = ckpts.pop(0)
+        shutil.rmtree(stale, ignore_errors=True)
+        Path(str(stale) + ".meta.json").unlink(missing_ok=True)
 
 
 def restore_checkpoint(path, abstract_state):
     """Restore into the structure of ``abstract_state`` (a TrainState
     built with create_train_state on matching shapes)."""
+    path = Path(path).resolve()
     with _checkpointer() as cp:
-        restored = cp.restore(
-            Path(path).resolve(),
-            {
-                "state": abstract_state,
-                "meta": {"epoch": 0, "version": ""},
-            },
-        )
-    return restored["state"], restored["meta"]
+        restored = cp.restore(path, {"state": abstract_state})
+    meta = {"epoch": 0, "version": ""}
+    meta_file = Path(str(path) + ".meta.json")
+    if meta_file.exists():
+        meta.update(json.loads(meta_file.read_text()))
+    return restored["state"], meta
 
 
 def latest_checkpoint(ckpt_dir):

@@ -1,0 +1,82 @@
+"""Training infra: optimizer schedules, checkpoint roundtrip, SPMD
+train step over the virtual 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from de6d_tpu.train.optimization import (
+    build_optimizer_and_schedule, onecycle_momentum_schedule,
+)
+
+
+def test_onecycle_schedules():
+    opt_cfg = {
+        "OPTIMIZER": "adam_onecycle", "LR": 0.01, "WEIGHT_DECAY": 0.01,
+        "MOMS": [0.95, 0.85], "PCT_START": 0.4, "DIV_FACTOR": 10,
+        "NUM_EPOCHS": 10, "GRAD_NORM_CLIP": 10.0,
+    }
+    params = {"w": jnp.ones((4, 4)), "b": jnp.ones((4,))}
+    opt, lr_sched = build_optimizer_and_schedule(opt_cfg, params, 100)
+    # warmup from lr/div to peak, then anneal
+    assert float(lr_sched(0)) < 0.01 / 5
+    peak_step = int(1000 * 0.4)
+    assert float(lr_sched(peak_step)) > 0.009
+    assert float(lr_sched(999)) < 1e-3
+    moms = onecycle_momentum_schedule(1000, 0.4)
+    assert abs(float(moms(0)) - 0.95) < 1e-6
+    assert abs(float(moms(peak_step)) - 0.85) < 1e-2
+    assert abs(float(moms(1000)) - 0.95) < 1e-2
+
+    # weight decay mask: bias (1-D) excluded
+    state = opt.init(params)
+    grads = {"w": jnp.zeros((4, 4)), "b": jnp.zeros((4,))}
+    updates, _ = opt.update(grads, state, params)
+    # with zero grads, only decay applies: w gets update, b stays 0
+    assert float(jnp.abs(updates["w"]).sum()) > 0
+    assert float(jnp.abs(updates["b"]).sum()) == 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import optax
+
+    from de6d_tpu.train.checkpoint import (
+        latest_checkpoint, restore_checkpoint, save_checkpoint,
+    )
+    from de6d_tpu.train.train_state import TrainState
+
+    params = {"w": np.arange(12, dtype=np.float32).reshape(3, 4)}
+    opt = optax.adam(1e-3)
+    state = TrainState(
+        step=jnp.asarray(7, jnp.int32),
+        params=params,
+        batch_stats={"bn": np.ones(4, np.float32)},
+        opt_state=opt.init(params),
+    )
+    save_checkpoint(tmp_path, state, epoch=3)
+    ckpt = latest_checkpoint(tmp_path)
+    assert ckpt is not None and "epoch_3" in ckpt.name
+    zero_state = jax.tree_util.tree_map(np.zeros_like, state)
+    restored, meta = restore_checkpoint(ckpt, zero_state)
+    assert int(meta["epoch"]) == 3
+    np.testing.assert_array_equal(restored.params["w"], params["w"])
+    assert int(restored.step) == 7
+
+
+def test_checkpoint_pruning(tmp_path):
+    import optax
+
+    from de6d_tpu.train.checkpoint import list_checkpoints, save_checkpoint
+    from de6d_tpu.train.train_state import TrainState
+
+    params = {"w": np.ones(2, np.float32)}
+    opt = optax.sgd(0.1)
+    state = TrainState(
+        step=jnp.asarray(0), params=params, batch_stats={},
+        opt_state=opt.init(params),
+    )
+    for e in range(5):
+        save_checkpoint(tmp_path, state, epoch=e, max_keep=3)
+    kept = list_checkpoints(tmp_path)
+    assert len(kept) == 3
+    assert kept[-1].name == "checkpoint_epoch_4"
