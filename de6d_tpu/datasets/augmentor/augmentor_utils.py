@@ -234,3 +234,54 @@ def _apply_slope(gt_boxes, points, rotate_point, rotate_angle):
         gt_boxes[:, 6:9], offset=0.5, period=2 * np.pi
     )
     return gt_boxes, points, rotate_point, rotate_angle
+
+
+def random_local_translation(gt_boxes, points, offset_range, axis, rng):
+    """Per-object translation along one axis (reference
+    random_local_translation_along_x/y/z)."""
+    from ...ops import geometry
+
+    gt_boxes = gt_boxes.copy()
+    points = points.copy()
+    idx = np.asarray(
+        geometry.points_in_boxes_index(points[:, :3], gt_boxes)
+    )
+    for i in range(gt_boxes.shape[0]):
+        offset = rng.uniform(offset_range[0], offset_range[1])
+        sel = idx == i
+        points[sel, axis] += offset
+        gt_boxes[i, axis] += offset
+    return gt_boxes, points
+
+
+def global_frustum_dropout(gt_boxes, points, intensity_range, rng,
+                           direction="top"):
+    """Drop a frustum of points above/below/left/right of a random
+    gt box (reference global_frustum_dropout_*): removes scene points
+    whose bearing falls in the box's angular frustum on the chosen
+    side."""
+    if gt_boxes.shape[0] == 0:
+        return gt_boxes, points
+    intensity = rng.uniform(intensity_range[0], intensity_range[1])
+    if intensity <= 0:
+        return gt_boxes, points
+    box = gt_boxes[rng.randint(gt_boxes.shape[0])]
+    # angular extent of the box from the sensor
+    ang = np.arctan2(box[1], box[0])
+    half = np.arctan2(
+        np.linalg.norm(box[3:5]) / 2, np.linalg.norm(box[:2])
+    )
+    pang = np.arctan2(points[:, 1], points[:, 0])
+    in_frustum = np.abs(
+        (pang - ang + np.pi) % (2 * np.pi) - np.pi
+    ) < half * intensity
+    if direction == "top":
+        side = points[:, 2] > box[2] + box[5] / 2
+    elif direction == "bottom":
+        side = points[:, 2] < box[2] - box[5] / 2
+    elif direction == "left":
+        side = ((pang - ang + np.pi) % (2 * np.pi) - np.pi) > 0
+    else:
+        side = ((pang - ang + np.pi) % (2 * np.pi) - np.pi) < 0
+    drop = in_frustum & side
+    return gt_boxes, points[~drop]

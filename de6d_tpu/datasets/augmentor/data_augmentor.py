@@ -133,6 +133,36 @@ class DataAugmentor:
 
         return _apply
 
+    def random_local_translation(self, config=None):
+        def _apply(data_dict, rng, config=config):
+            rng_range = config.get("LOCAL_TRANSLATION_RANGE", [0, 0.25])
+            gt_boxes, points = data_dict["gt_boxes"], data_dict["points"]
+            for axis_name in config.get("ALONG_AXIS_LIST", ["x", "y"]):
+                axis = {"x": 0, "y": 1, "z": 2}[axis_name]
+                gt_boxes, points = augmentor_utils.random_local_translation(
+                    gt_boxes, points, rng_range, axis, rng
+                )
+            data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+            return data_dict
+
+        return _apply
+
+    def random_world_frustum_dropout(self, config=None):
+        def _apply(data_dict, rng, config=config):
+            gt_boxes, points = data_dict["gt_boxes"], data_dict["points"]
+            for direction in config.get(
+                "DIRECTION", ["top", "bottom", "left", "right"]
+            ):
+                gt_boxes, points = augmentor_utils.global_frustum_dropout(
+                    gt_boxes, points,
+                    config.get("INTENSITY_RANGE", [0, 0.2]), rng,
+                    direction=direction,
+                )
+            data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+            return data_dict
+
+        return _apply
+
     def random_make_slope_in_scene(self, config=None):
         """SlopeAug (reference data_augmentor.py:265-282): with
         probability PROB, synthesize a sloped region; gt boxes become

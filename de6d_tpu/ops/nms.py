@@ -63,7 +63,8 @@ def _greedy_resolve(mask, valid):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pre_maxsize", "post_maxsize", "iou_kind")
+    jax.jit,
+    static_argnames=("thresh", "pre_maxsize", "post_maxsize", "iou_kind"),
 )
 def nms(
     boxes,
@@ -99,12 +100,20 @@ def nms(
     cand = boxes[order]
     cand_valid = top_scores > NEG_INF / 2
 
-    iou_fn = (
-        iou3d.boxes_iou_bev if iou_kind == "rotated" else iou3d.boxes_iou_normal
-    )
-    iou = _pairwise_iou_chunked(cand[:, :7], iou_fn)
+    if iou_kind == "rotated" and jax.default_backend() == "tpu":
+        # fused Pallas suppression-mask kernel (registers, no HBM
+        # round-trips for the per-pair intermediates)
+        from .pallas.nms_mask import nms_suppression_mask
+
+        over = nms_suppression_mask(cand[:, :7], float(thresh)) > 0.5
+    else:
+        iou_fn = (
+            iou3d.boxes_iou_bev
+            if iou_kind == "rotated" else iou3d.boxes_iou_normal
+        )
+        over = _pairwise_iou_chunked(cand[:, :7], iou_fn) > thresh
     upper = jnp.triu(jnp.ones((pre, pre), dtype=bool), k=1)
-    mask = (iou > thresh) & upper
+    mask = over & upper
 
     keep = _greedy_resolve(mask, cand_valid)
 
