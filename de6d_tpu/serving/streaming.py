@@ -34,6 +34,7 @@ class StreamingDetector:
         self.max_points = max_points
         self.depth = depth
         self._queue: collections.deque = collections.deque()
+        self._ready: collections.deque = collections.deque()
         post_cfg = model_cfg["POST_PROCESSING"]
 
         @jax.jit
@@ -80,9 +81,10 @@ class StreamingDetector:
             self.params, self.batch_stats, jnp.asarray(buf), jnp.asarray(mask)
         )
         self._queue.append((t0, out))
-        # keep at most `depth` frames in flight
+        # keep at most `depth` frames in flight; completed frames are
+        # stashed for result() so nothing is dropped
         while len(self._queue) > self.depth:
-            self._drain_one()
+            self._ready.append(self._drain_one())
 
     def _drain_one(self):
         t0, (boxes, scores, labels, count) = self._queue.popleft()
@@ -96,7 +98,10 @@ class StreamingDetector:
         }
 
     def result(self):
-        """Block on (and return) the oldest in-flight frame, or None."""
+        """Return the oldest completed frame, blocking on the device if
+        necessary; None when nothing is pending."""
+        if self._ready:
+            return self._ready.popleft()
         if not self._queue:
             return None
         return self._drain_one()
@@ -105,6 +110,9 @@ class StreamingDetector:
         """Synchronous convenience: submit + drain everything."""
         self.submit(points)
         out = None
-        while self._queue:
-            out = self._drain_one()
+        while True:
+            r = self.result()
+            if r is None:
+                break
+            out = r
         return out

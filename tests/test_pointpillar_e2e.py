@@ -116,3 +116,39 @@ def test_jit_full_train_step(setup):
         variables["params"], variables["batch_stats"], jbatch
     )
     assert np.isfinite(float(loss))
+
+
+def test_streaming_detector(setup):
+    """Serving path: async submit/result with double buffering."""
+    from de6d_tpu.serving import StreamingDetector
+
+    model_cfg, spec, model, batch, variables = setup
+    det = StreamingDetector(
+        model, variables, model_cfg, num_class=3, max_points=2048, depth=2
+    )
+    rng = np.random.RandomState(1)
+    frames = []
+    pc = spec.point_cloud_range
+    for _ in range(4):
+        n = rng.randint(500, 3000)
+        f = np.zeros((n, 4), np.float32)
+        f[:, 0] = rng.uniform(pc[0], pc[3], n)
+        f[:, 1] = rng.uniform(pc[1], pc[4], n)
+        f[:, 2] = rng.uniform(pc[2], pc[5], n)
+        frames.append(f)
+
+    out = det.detect(frames[0])
+    assert out is not None and "boxes" in out and out["latency_s"] > 0
+
+    # pipelined: submit all, then drain — no frame may be dropped
+    results = []
+    for f in frames:
+        det.submit(f)
+    while True:
+        r = det.result()
+        if r is None:
+            break
+        results.append(r)
+    assert len(results) == 4
+    for r in results:
+        assert r["boxes"].shape[1] == 7
