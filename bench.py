@@ -75,10 +75,14 @@ def main():
 
     params, stats = variables["params"], variables["batch_stats"]
     # warmup + compile
+    import sys
     t_c0 = time.perf_counter()
     out = infer(params, stats, batch)
     jax.block_until_ready(out)
-    print(f"# compile+warmup: {time.perf_counter()-t_c0:.1f}s")
+    print(
+        f"# compile+warmup: {time.perf_counter()-t_c0:.1f}s",
+        file=sys.stderr,
+    )
 
     iters = 10
     t0 = time.perf_counter()
