@@ -54,11 +54,3 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 def replicate(tree, mesh: Mesh):
     sharding = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
-
-
-def psum_scalar_dict(d: dict):
-    """All-reduce a dict of scalars inside jit (replaces the
-    reference's commu_utils.average_reduce_value). Under a jitted
-    global computation this is a no-op placeholder — reductions over
-    sharded arrays already produce global values."""
-    return d

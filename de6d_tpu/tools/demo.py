@@ -45,7 +45,10 @@ def main():
     ap.add_argument("--ext", default=".bin")
     ap.add_argument("--out", default="demo_out")
     ap.add_argument("--max_points", type=int, default=16384)
+    ap.add_argument("--platform", type=str, default=None)
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     cfg_from_yaml_file(args.cfg_file, cfg)
     logger = create_logger()

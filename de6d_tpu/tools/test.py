@@ -36,10 +36,13 @@ def parse_config():
                         help="watch ckpt dir and evaluate new checkpoints")
     parser.add_argument("--max_waiting_mins", type=int, default=30)
     parser.add_argument("--save_to_file", action="store_true")
+    parser.add_argument("--platform", type=str, default=None)
     parser.add_argument(
         "--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER
     )
     args = parser.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     cfg_from_yaml_file(args.cfg_file, cfg)
     if args.set_cfgs is not None:
         cfg_from_list(args.set_cfgs, cfg)

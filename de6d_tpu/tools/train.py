@@ -42,9 +42,21 @@ def parse_config():
     parser.add_argument("--ckpt_save_interval", type=int, default=1)
     parser.add_argument("--max_ckpt_save_num", type=int, default=30)
     parser.add_argument(
+        "--profile", action="store_true",
+        help="capture a jax.profiler trace of iterations 10-20 into "
+             "<output_dir>/profile",
+    )
+    parser.add_argument(
+        "--platform", type=str, default=None,
+        help="force a jax platform (e.g. 'cpu'); overrides ambient "
+             "plugin registration",
+    )
+    parser.add_argument(
         "--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER
     )
     args = parser.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     cfg_from_yaml_file(args.cfg_file, cfg)
     if args.set_cfgs is not None:
         cfg_from_list(args.set_cfgs, cfg)
@@ -123,6 +135,7 @@ def main():
         ckpt_dir=ckpt_dir, ckpt_save_interval=args.ckpt_save_interval,
         max_ckpt_save_num=args.max_ckpt_save_num,
         tb_log=tb_log, logger=logger, lr_schedule=lr_schedule,
+        profile_dir=(output_dir / "profile") if args.profile else None,
     )
 
     # post-training eval (reference train.py:181-199)

@@ -15,6 +15,7 @@ import jax
 import numpy as np
 
 from ..parallel import make_mesh, shard_batch
+from ..parallel.collectives import average_reduce_value
 from ..utils.common_utils import AverageMeter
 from .checkpoint import save_checkpoint
 from .train_state import make_train_step
@@ -36,7 +37,12 @@ def train_model(
     lr_schedule=None,
     mesh=None,
     log_interval: int = 50,
+    profile_dir=None,
+    profile_steps: tuple = (10, 20),
 ):
+    """``profile_dir``: if set, capture a ``jax.profiler`` trace over
+    iterations [profile_steps[0], profile_steps[1]) into that dir
+    (SURVEY §5.1 — replaces the reference's ad-hoc cuda-sync timers)."""
     mesh = mesh or make_mesh()
     train_step = make_train_step(model, optimizer)
     data_time = AverageMeter()
@@ -44,11 +50,15 @@ def train_model(
 
     device_keys = ("points", "points_mask", "gt_boxes", "point_voxel_idx")
     it = int(state.step)
+    profiling = False
     with mesh:
         for epoch in range(start_epoch, total_epochs):
             train_loader.set_epoch(epoch)
             t_end = time.perf_counter()
             for batch in train_loader:
+                if profile_dir is not None and it == profile_steps[0]:
+                    jax.profiler.start_trace(str(profile_dir))
+                    profiling = True
                 t_data = time.perf_counter() - t_end
                 dev_batch = shard_batch(
                     {k: batch[k] for k in device_keys if k in batch}, mesh
@@ -59,6 +69,11 @@ def train_model(
                 data_time.update(t_data)
                 step_time.update(t_step)
                 it += 1
+                if profiling and it >= profile_steps[1]:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    if logger:
+                        logger.info(f"profiler trace saved to {profile_dir}")
                 if tb_log is not None and it % log_interval == 0:
                     for k, v in metrics.items():
                         tb_log.add_scalar(f"train/{k}", float(v), it)
@@ -68,11 +83,15 @@ def train_model(
                             float(lr_schedule(it)), it,
                         )
                 if logger is not None and it % log_interval == 0:
+                    # cross-process mean of host timings (reference
+                    # train_utils.py:60-62 average_reduce_value)
+                    avg_data = average_reduce_value(data_time.avg)
+                    avg_step = average_reduce_value(step_time.avg)
                     logger.info(
                         f"epoch {epoch} it {it} "
                         f"loss {float(metrics['loss']):.4f} "
-                        f"data {data_time.avg * 1e3:.0f}ms "
-                        f"step {step_time.avg * 1e3:.0f}ms"
+                        f"data {avg_data * 1e3:.0f}ms "
+                        f"step {avg_step * 1e3:.0f}ms"
                     )
                 t_end = time.perf_counter()
 
@@ -87,4 +106,6 @@ def train_model(
                 )
                 if logger:
                     logger.info(f"saved checkpoint epoch {epoch + 1}")
+        if profiling:
+            jax.profiler.stop_trace()
     return state

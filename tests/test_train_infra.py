@@ -1,5 +1,5 @@
-"""Training infra: optimizer schedules, checkpoint roundtrip, SPMD
-train step over the virtual 8-device mesh."""
+"""Training infra: optimizer schedules + checkpoint roundtrip.
+(The SPMD train-step tests live in test_spmd_train.py.)"""
 
 import jax
 import jax.numpy as jnp
