@@ -17,8 +17,22 @@ from . import roi_heads  # noqa: F401
 from . import detectors  # noqa: F401  (registers detectors)
 
 
+_MODULE_SLOTS = (
+    "VFE", "BACKBONE_3D", "MAP_TO_BEV", "PFE", "BACKBONE_2D",
+    "DENSE_HEAD", "POINT_HEAD", "ROI_HEAD",
+)
+
+
 def build_network(model_cfg, num_class, dataset):
-    cls = DETECTORS.get(model_cfg.NAME)
+    # thread the model-level compute dtype into every module slot while
+    # the cfg is still a mutable dict (flax freezes module attributes —
+    # see model_utils/dtype_utils.py)
+    dtype_name = str(model_cfg.get("COMPUTE_DTYPE", "float32"))
+    if dtype_name != "float32":
+        for slot in _MODULE_SLOTS:
+            if slot in model_cfg:
+                model_cfg[slot]["_COMPUTE_DTYPE"] = dtype_name
+    cls = DETECTORS.get(model_cfg["NAME"])
     return cls(
         model_cfg=model_cfg,
         num_class=num_class,

@@ -13,29 +13,34 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ...registry import BACKBONES_2D
+from ..model_utils.dtype_utils import compute_dtype
 
 
 class ConvBlock(nn.Module):
     channels: int
     stride: int
     num_layers: int
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = nn.Conv(
             self.channels, (3, 3), strides=(self.stride, self.stride),
-            padding=((1, 1), (1, 1)), use_bias=False,
+            padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.99, epsilon=1e-3
+            use_running_average=not train, momentum=0.99, epsilon=1e-3,
+            dtype=self.dtype,
         )(x)
         x = nn.relu(x)
         for _ in range(self.num_layers):
             x = nn.Conv(
-                self.channels, (3, 3), padding="SAME", use_bias=False
+                self.channels, (3, 3), padding="SAME", use_bias=False,
+                dtype=self.dtype,
             )(x)
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.99, epsilon=1e-3
+                use_running_average=not train, momentum=0.99, epsilon=1e-3,
+                dtype=self.dtype,
             )(x)
             x = nn.relu(x)
         return x
@@ -59,7 +64,8 @@ class BaseBEVBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, batch_dict, train: bool = False):
-        x = batch_dict["spatial_features"]  # (B, ny, nx, C)
+        dt = compute_dtype(self.model_cfg)
+        x = batch_dict["spatial_features"].astype(dt)  # (B, ny, nx, C)
         layer_nums = list(self.model_cfg.get("LAYER_NUMS", []))
         strides = list(self.model_cfg.get("LAYER_STRIDES", []))
         filters = list(self.model_cfg.get("NUM_FILTERS", []))
@@ -68,22 +74,25 @@ class BaseBEVBackbone(nn.Module):
 
         ups = []
         for i in range(len(layer_nums)):
-            x = ConvBlock(filters[i], strides[i], layer_nums[i])(x, train)
+            x = ConvBlock(
+                filters[i], strides[i], layer_nums[i], dtype=dt
+            )(x, train)
             if i < len(up_strides):
                 s = up_strides[i]
                 if s >= 1:
                     u = nn.ConvTranspose(
                         up_filters[i], (int(s), int(s)),
-                        strides=(int(s), int(s)), use_bias=False,
+                        strides=(int(s), int(s)), use_bias=False, dtype=dt,
                     )(x)
                 else:  # fractional stride = strided conv downsample
                     inv = int(round(1 / s))
                     u = nn.Conv(
                         up_filters[i], (inv, inv), strides=(inv, inv),
-                        use_bias=False,
+                        use_bias=False, dtype=dt,
                     )(x)
                 u = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.99, epsilon=1e-3
+                    use_running_average=not train, momentum=0.99,
+                    epsilon=1e-3, dtype=dt,
                 )(u)
                 ups.append(nn.relu(u))
             else:
@@ -95,10 +104,12 @@ class BaseBEVBackbone(nn.Module):
         if len(up_strides) > len(layer_nums):
             s = int(up_strides[-1])
             x = nn.ConvTranspose(
-                up_filters[-1], (s, s), strides=(s, s), use_bias=False
+                up_filters[-1], (s, s), strides=(s, s), use_bias=False,
+                dtype=dt,
             )(x)
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.99, epsilon=1e-3
+                use_running_average=not train, momentum=0.99, epsilon=1e-3,
+                dtype=dt,
             )(x)
             x = nn.relu(x)
         batch_dict["spatial_features_2d"] = x

@@ -15,27 +15,51 @@ zeros after masking.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ....ops import voxelize
 from ....registry import VFE
+from ...model_utils.dtype_utils import compute_dtype
 
 
 class PFNLayer(nn.Module):
+    """One PFN stage (linear+BN+ReLU+segment-max). Two entry points
+    share the same parameters: the padded-buffer path (``__call__``,
+    (..., P, C) voxel buffers) and the fused sorted-point path
+    (``mlp`` — per-point transform, caller does the segmented max)."""
+
     out_channels: int
     use_norm: bool = True
     last_layer: bool = False
+    dtype: object = jnp.float32
 
-    @nn.compact
+    @property
+    def out_dim(self):
+        return (
+            self.out_channels if self.last_layer else self.out_channels // 2
+        )
+
+    def setup(self):
+        self.dense = nn.Dense(
+            self.out_dim, use_bias=not self.use_norm, dtype=self.dtype
+        )
+        if self.use_norm:
+            self.bn = nn.BatchNorm(
+                momentum=0.99, epsilon=1e-3, dtype=self.dtype
+            )
+
+    def mlp(self, inputs, train: bool):
+        """(..., C) → (..., out_dim) per-position transform."""
+        x = self.dense(inputs.astype(self.dtype))
+        if self.use_norm:
+            x = self.bn(x, use_running_average=not train)
+        return nn.relu(x)
+
     def __call__(self, inputs, mask, train: bool):
         """inputs: (..., P, C); mask: (..., P) valid points."""
-        out_c = self.out_channels if self.last_layer else self.out_channels // 2
-        x = nn.Dense(out_c, use_bias=not self.use_norm)(inputs)
-        if self.use_norm:
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.99, epsilon=1e-3
-            )(x)
-        x = nn.relu(x)
+        out_c = self.out_dim
+        x = self.mlp(inputs, train)
         x = jnp.where(mask[..., None], x, -1e9)
         x_max = jnp.max(x, axis=-2, keepdims=True)
         x_max = jnp.where(x_max <= -1e9, 0.0, x_max)
@@ -88,6 +112,26 @@ class PillarVFE(nn.Module):
 
     @nn.compact
     def __call__(self, batch_dict, train: bool = False):
+        num_filters = list(self.model_cfg["NUM_FILTERS"])
+        use_norm = self.model_cfg.get("USE_NORM", True)
+        dt = compute_dtype(self.model_cfg)
+        layers = [
+            PFNLayer(
+                nf, use_norm=use_norm,
+                last_layer=(i == len(num_filters) - 1), dtype=dt,
+            )
+            for i, nf in enumerate(num_filters)
+        ]
+
+        if "order" in batch_dict:
+            # fused sorted-point path: never materializes the (V, P, C)
+            # voxel buffer — per-point MLP over the sorted stream +
+            # segmented max (gathers/scans only). Exactly equal to the
+            # buffer path in eval; in train the BatchNorm statistics
+            # run over N points instead of V*P padded rows, which
+            # matches the reference DynamicPillarVFE convention.
+            return self._fused(batch_dict, layers, train)
+
         voxels = batch_dict["voxels"]  # (B, V, P, C)
         num_points = batch_dict["voxel_num_points"]  # (B, V)
         coords = batch_dict["voxel_coords"]  # (B, V, 3) zyx
@@ -111,12 +155,69 @@ class PillarVFE(nn.Module):
             self.model_cfg.get("WITH_DISTANCE", False),
         )
 
-        num_filters = list(self.model_cfg["NUM_FILTERS"])
-        use_norm = self.model_cfg.get("USE_NORM", True)
-        for i, nf in enumerate(num_filters):
-            feats = PFNLayer(
-                nf, use_norm=use_norm, last_layer=(i == len(num_filters) - 1)
-            )(feats, mask, train)
+        for layer in layers:
+            feats = layer(feats, mask, train)
+        batch_dict["pillar_features"] = feats  # (B, V, C_out)
+        return batch_dict
+
+    def _fused(self, batch_dict, layers, train: bool):
+        points = batch_dict["points"]  # (B, N, 3+C)
+        order = batch_dict["order"]  # (B, N)
+        slot = batch_dict["sorted_slot"]  # (B, N), -1 invalid
+        starts = batch_dict["voxel_starts"]  # (B, V)
+        counts = batch_dict["voxel_num_points"]  # (B, V) capped
+        coords = batch_dict["voxel_coords"]  # (B, V, 3) zyx
+        v = coords.shape[1]
+        cap = int(batch_dict.get("_points_per_voxel_cap", 32))
+
+        pts_sorted = jnp.take_along_axis(
+            points, order[..., None], axis=1
+        )  # (B, N, C)
+        xyz = pts_sorted[..., :3]
+        extra = pts_sorted[..., 3:]
+        valid = slot >= 0
+
+        # per-voxel centroid over the capped window (= reference mean
+        # over the voxel buffer), via cumsum-diff — then back per point
+        seg_sum = jax.vmap(
+            lambda x_, i_, s_, c_: voxelize.sorted_segment_sum(
+                x_, i_, s_, c_, window=cap
+            )
+        )(jnp.where(valid[..., None], xyz, 0.0), slot, starts, counts)
+        centroid_v = seg_sum / jnp.clip(
+            counts[..., None], 1, None
+        ).astype(xyz.dtype)
+        slot_c = jnp.clip(slot, 0, v - 1)
+        centroid = jnp.take_along_axis(
+            centroid_v, slot_c[..., None], axis=1
+        )  # (B, N, 3)
+        pt_coords = jnp.take_along_axis(
+            coords, slot_c[..., None], axis=1
+        )  # (B, N, 3)
+        center = pillar_centers_from_coords(
+            pt_coords, self.voxel_size, self.point_cloud_range, xyz.dtype
+        )
+        feats = _pillar_point_features(
+            xyz, extra, valid, centroid, center,
+            self.model_cfg.get("USE_ABSLOTE_XYZ", True),
+            self.model_cfg.get("WITH_DISTANCE", False),
+        )  # (B, N, F)
+
+        for layer in layers:
+            x = layer.mlp(feats, train)  # (B, N, out)
+            x = jnp.where(valid[..., None], x, 0.0)
+            x_max = jax.vmap(
+                lambda x_, i_, s_, c_: voxelize.sorted_segment_max(
+                    x_, i_, s_, c_, window=cap
+                )
+            )(x, slot, starts, counts)  # (B, V, out)
+            if layer.last_layer:
+                feats = x_max
+            else:
+                x_rep = jnp.take_along_axis(
+                    x_max, slot_c[..., None], axis=1
+                )
+                feats = jnp.concatenate([x, x_rep], axis=-1)
         batch_dict["pillar_features"] = feats  # (B, V, C_out)
         return batch_dict
 
@@ -164,11 +265,14 @@ class DynamicPillarVFE(nn.Module):
         )
 
         use_norm = self.model_cfg.get("USE_NORM", True)
+        dt = compute_dtype(self.model_cfg)
+        feats = feats.astype(dt)
         for i, nf in enumerate(self.model_cfg["NUM_FILTERS"]):
-            feats = nn.Dense(nf, use_bias=not use_norm)(feats)
+            feats = nn.Dense(nf, use_bias=not use_norm, dtype=dt)(feats)
             if use_norm:
                 feats = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.99, epsilon=1e-3
+                    use_running_average=not train, momentum=0.99, epsilon=1e-3,
+                    dtype=dt,
                 )(feats)
             feats = nn.relu(feats)
         pillars = []

@@ -24,6 +24,7 @@ from ...utils import box_coder_utils, loss_utils
 from ...ops import geometry
 from . import anchor_generator
 from .axis_aligned_assigner import assign_targets
+from ..model_utils import dtype_utils
 
 
 def add_sin_difference(preds, targets, dim: int = 6):
@@ -90,28 +91,35 @@ class AnchorHeadSingle(nn.Module):
         self._unmatched_np = np.tile(unmatched, ny * nx)
 
         a_loc = self.num_anchors_per_location
+        dt = dtype_utils.compute_dtype(self.model_cfg)
         self.conv_cls = nn.Conv(
             a_loc * self.num_class, (1, 1),
             bias_init=nn.initializers.constant(-np.log((1 - 0.01) / 0.01)),
+            dtype=dt,
         )
         self.conv_box = nn.Conv(
             a_loc * self.box_coder.code_size, (1, 1),
-            kernel_init=nn.initializers.normal(0.001),
+            kernel_init=nn.initializers.normal(0.001), dtype=dt,
         )
         self.use_dir = self.model_cfg.get("USE_DIRECTION_CLASSIFIER", False)
         if self.use_dir:
             self.conv_dir = nn.Conv(
-                a_loc * int(self.model_cfg["NUM_DIR_BINS"]), (1, 1)
+                a_loc * int(self.model_cfg["NUM_DIR_BINS"]), (1, 1), dtype=dt
             )
 
     def __call__(self, batch_dict, train: bool = False):
         x = batch_dict["spatial_features_2d"]  # (B, H, W, C)
         b = x.shape[0]
-        cls_preds = self.conv_cls(x).reshape(b, -1, self.num_class)
-        box_preds = self.conv_box(x).reshape(b, -1, self.box_coder.code_size)
+        # raw predictions go back to fp32 for decode / losses / NMS
+        cls_preds = self.conv_cls(x).astype(jnp.float32).reshape(
+            b, -1, self.num_class
+        )
+        box_preds = self.conv_box(x).astype(jnp.float32).reshape(
+            b, -1, self.box_coder.code_size
+        )
         dir_preds = None
         if self.use_dir:
-            dir_preds = self.conv_dir(x).reshape(
+            dir_preds = self.conv_dir(x).astype(jnp.float32).reshape(
                 b, -1, int(self.model_cfg["NUM_DIR_BINS"])
             )
 

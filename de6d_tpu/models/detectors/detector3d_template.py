@@ -184,7 +184,18 @@ class Detector3DTemplate(nn.Module):
             voxel_coords=out["voxel_coords"],
             voxel_num_points=out["voxel_num_points"],
             point_voxel_idx=out["point_voxel_idx"],
+            # sorted-order metadata: enables the fused (no-voxel-buffer)
+            # VFE paths and the gather-based BEV canvas; unused keys
+            # are dead-code-eliminated by XLA
+            order=out["order"],
+            sorted_slot=out["sorted_slot"],
+            sorted_rank=out["sorted_rank"],
+            voxel_starts=out["voxel_starts"],
         )
+        batch_dict["voxel_coords_sorted"] = True
+        # static python int: the per-voxel point cap, for windowed
+        # segmented reductions in fused VFE paths
+        batch_dict["_points_per_voxel_cap"] = spec.max_points_per_voxel
         return batch_dict
 
     def apply_modules(self, batch_dict, train: bool):

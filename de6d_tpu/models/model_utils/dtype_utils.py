@@ -1,0 +1,31 @@
+"""Compute-dtype plumbing (bf16 inference/training on the MXU).
+
+The reference runs everything in fp32 CUDA; on TPU the matmul/conv
+path should run in bfloat16 (MXU native) with fp32 parameters and
+fp32 geometry/decode math. Opt in per model with
+
+    MODEL:
+      COMPUTE_DTYPE: bfloat16
+
+The detector template injects the choice into each module-slot cfg as
+``_COMPUTE_DTYPE``; modules read it via :func:`compute_dtype` and pass
+it as flax ``dtype`` (params stay fp32 via ``param_dtype``). Heads must
+cast their raw predictions back to fp32 before decode/NMS.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_DTYPES = {
+    "float32": jnp.float32,
+    "fp32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "bf16": jnp.bfloat16,
+}
+
+
+def compute_dtype(model_cfg) -> jnp.dtype:
+    """Compute dtype for a module-slot cfg (default fp32)."""
+    name = str(model_cfg.get("_COMPUTE_DTYPE", "float32")).lower()
+    return _DTYPES.get(name, jnp.float32)

@@ -64,14 +64,19 @@ def _greedy_resolve(mask, valid):
     return keep
 
 
-def _greedy_resolve_blocked(mask, valid, block: int = 64):
+def _greedy_resolve_blocked(mask, valid, count=None, block: int = 64):
     """Exact greedy resolve in ONE sequential pass over column blocks
     (the strategy of the reference CUDA bitmask kernel,
     iou3d_nms_kernel.cu:267): for each block of `block` candidates,
     apply suppression from already-resolved earlier candidates
     (one masked (K, block) reduction), then resolve the intra-block
     recurrence with local fixpoint sweeps on the (block, block) tile.
-    Total work ≈ one K² sweep instead of chain-depth sweeps."""
+    Total work ≈ one K² sweep instead of chain-depth sweeps.
+
+    `count` (traced int32, optional): number of valid candidates —
+    candidates are score-sorted so invalid ones form a suffix whose
+    blocks can be skipped (their keep stays at the init value `valid`,
+    which is False there)."""
     k = mask.shape[0]
     assert k % block == 0
     n_blocks = k // block
@@ -107,7 +112,22 @@ def _greedy_resolve_blocked(mask, valid, block: int = 64):
         )
         return jax.lax.dynamic_update_slice(keep, kb, (col0,))
 
-    return jax.lax.fori_loop(0, n_blocks, body, valid)
+    if count is None:
+        return jax.lax.fori_loop(0, n_blocks, body, valid)
+    blocks_needed = jnp.minimum(
+        (jnp.asarray(count, jnp.int32) + block - 1) // block, n_blocks
+    )
+
+    def w_cond(state):
+        b, _ = state
+        return b < blocks_needed
+
+    def w_body(state):
+        b, keep = state
+        return b + 1, body(b, keep)
+
+    _, keep = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), valid))
+    return keep
 
 
 @functools.partial(
@@ -147,13 +167,17 @@ def nms(
     top_scores, order = jax.lax.top_k(scores, pre)
     cand = boxes[order]
     cand_valid = top_scores > NEG_INF / 2
+    count_pre = jnp.sum(cand_valid.astype(jnp.int32))
 
     if iou_kind == "rotated" and jax.default_backend() == "tpu":
         # fused Pallas suppression-mask kernel (registers, no HBM
-        # round-trips for the per-pair intermediates)
+        # round-trips for the per-pair intermediates); tiles past the
+        # valid candidate count or below the diagonal skip compute
         from .pallas.nms_mask import nms_suppression_mask
 
-        over = nms_suppression_mask(cand[:, :7], float(thresh)) > 0.5
+        over = nms_suppression_mask(
+            cand[:, :7], float(thresh), valid_count=count_pre
+        ) > 0.5
     else:
         iou_fn = (
             iou3d.boxes_iou_bev
@@ -164,7 +188,7 @@ def nms(
     mask = over & upper
 
     if pre % 64 == 0:
-        keep = _greedy_resolve_blocked(mask, cand_valid)
+        keep = _greedy_resolve_blocked(mask, cand_valid, count=count_pre)
     else:
         keep = _greedy_resolve(mask, cand_valid)
 

@@ -98,8 +98,11 @@ def voxelize(
     key = jnp.where(ok, key, BIG)
 
     # single-sort pipeline: one argsort yields (a) the unique key list,
-    # (b) every point's voxel slot, and (c) its within-voxel arrival
-    # rank — replacing the unique+searchsorted+argsort triple (3 sorts)
+    # (b) every point's voxel slot, and (c) the per-voxel start offsets
+    # in the sorted order. The (V, P, C) buffers are then built with
+    # GATHERS from the sorted points (voxel v's points are contiguous at
+    # [starts[v], starts[v+1])) — TPU scatters serialize, gathers don't;
+    # only small (N,)→(V,) int32 scatters remain.
     order = jnp.argsort(key, stable=True)
     sorted_keys = key[order]
     pos = jnp.arange(n, dtype=jnp.int32)
@@ -107,33 +110,44 @@ def voxelize(
         [sorted_keys[:1] != BIG, sorted_keys[1:] != sorted_keys[:-1]]
     ) & (sorted_keys != BIG)
     slot_sorted = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # dense id
-    group_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, pos, -1)
-    )
-    rank_sorted = pos - group_start
-    # scatter back to point order
+    # scatter slot back to point order (small int32 scatter)
     slot = jnp.zeros((n,), jnp.int32).at[order].set(slot_sorted)
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
 
     num_voxels = jnp.minimum(
         jnp.sum(is_start), v
     ).astype(jnp.int32)
+    slot_or_drop = jnp.where(is_start, slot_sorted, v)
     uniq = jnp.full((v,), BIG, jnp.int32)
-    uniq = uniq.at[
-        jnp.where(is_start, slot_sorted, v)
-    ].set(jnp.where(is_start, sorted_keys, BIG), mode="drop")
+    uniq = uniq.at[slot_or_drop].set(
+        jnp.where(is_start, sorted_keys, BIG), mode="drop"
+    )
+
+    n_valid = jnp.sum(ok.astype(jnp.int32))
+    # starts_ext[s] = sorted-order position where voxel s begins; index
+    # v itself takes the first OVERFLOWED voxel's start (if any) so the
+    # last kept voxel's count closes correctly. Only start entries may
+    # write (slot ids are unique); everything else drops out of bounds.
+    starts_ext = jnp.full((v + 1,), n_valid, jnp.int32)
+    starts_ext = starts_ext.at[
+        jnp.where(is_start, slot_sorted, v + 1)
+    ].set(pos, mode="drop")
+    # tail slots past num_voxels keep n_valid so their counts diff to 0
+    # (dense slot ids are contiguous in sorted-key order)
+    starts = starts_ext[:v]
+    next_start = starts_ext[1:]
+    full_counts = jnp.clip(next_start - starts, 0, None)
+    counts = jnp.minimum(full_counts, p)
+
+    pts_sorted = points[order]
+    gather_idx = jnp.clip(
+        starts[:, None] + jnp.arange(p, dtype=jnp.int32)[None, :], 0, n - 1
+    )  # (V, P)
+    in_voxel = jnp.arange(p, dtype=jnp.int32)[None, :] < counts[:, None]
+    voxels = jnp.where(
+        in_voxel[..., None], pts_sorted[gather_idx], 0.0
+    ).astype(points.dtype)
 
     slot_ok = ok & (slot >= 0) & (slot < v)
-    keep = slot_ok & (rank < p)
-
-    slot_w = jnp.where(keep, slot, v)
-    rank_w = jnp.where(keep, rank, 0)
-    voxels = jnp.zeros((v + 1, p, points.shape[1]), dtype=points.dtype)
-    voxels = voxels.at[slot_w, rank_w].set(points)[:v]
-
-    counts = jnp.zeros((v + 1,), jnp.int32).at[slot_w].add(
-        keep.astype(jnp.int32)
-    )[:v]
 
     # decode coords (z, y, x) from unique keys
     k = uniq
@@ -145,12 +159,23 @@ def voxelize(
     coords = jnp.where(k[:, None] != BIG, coords, -1)
 
     point_voxel_idx = jnp.where(slot_ok, slot, -1).astype(jnp.int32)
+    # sorted-order metadata for fused consumers (PillarVFE fast path,
+    # dynamic VFEs): lets them run segmented reductions over the sorted
+    # point stream with gathers/scans only — unused keys are DCE'd.
+    rank_sorted = pos - starts[jnp.clip(slot_sorted, 0, v - 1)]
+    sorted_valid = (sorted_keys != BIG) & (slot_sorted >= 0) & (
+        slot_sorted < v
+    )
     return {
         "voxels": voxels,
         "voxel_coords": coords,
         "voxel_num_points": counts,
         "num_voxels": num_voxels,
         "point_voxel_idx": point_voxel_idx,
+        "order": order.astype(jnp.int32),
+        "sorted_slot": jnp.where(sorted_valid, slot_sorted, -1),
+        "sorted_rank": rank_sorted.astype(jnp.int32),
+        "voxel_starts": starts,
     }
 
 
@@ -167,6 +192,64 @@ def scatter_to_bev(pillar_features, coords, nx: int, ny: int):
         jnp.where(valid[:, None], pillar_features, 0.0)
     )
     return canvas[: ny * nx].T.reshape(c, ny, nx)
+
+
+def _segmented_prefix(values, ids, op, identity, window):
+    """Hillis-Steele segmented inclusive prefix with CONTIGUOUS shifts.
+
+    After ceil(log2(window)) doubling passes, row i holds op over the
+    last min(i - seg_start + 1, 2**passes) rows of its segment — exact
+    for every row whose within-segment depth is <= window. Callers only
+    read capped segment ends (depth <= window), so this suffices and
+    avoids both scatters and jax.lax.associative_scan (whose odd/even
+    decomposition lowers to strided slices that crawl on TPU).
+    """
+    import numpy as _np
+
+    n = values.shape[0]
+    x = values
+    passes = max(1, int(_np.ceil(_np.log2(max(2, window)))))
+    for k in range(passes):
+        sh = 1 << k
+        if sh >= n:
+            break
+        pad_v = jnp.full((sh,) + x.shape[1:], identity, x.dtype)
+        x_sh = jnp.concatenate([pad_v, x[:-sh]], axis=0)
+        ids_sh = jnp.concatenate(
+            [jnp.full((sh,), -1, ids.dtype), ids[:-sh]], axis=0
+        )
+        same = (ids_sh == ids)[..., None]
+        x = jnp.where(same, op(x, x_sh), x)
+    return x
+
+
+def sorted_segment_sum(values, ids, starts, counts, window=32):
+    """Segment sums over a SORTED id stream — shifted-doubling prefix
+    + gather at capped segment ends; no scatter, exact per segment
+    (each sum covers <=window members; a global cumsum-diff would lose
+    ~ulp(running total) to cancellation).
+
+    values: (N, C); ids: (N,) contiguous segment ids (-1 tail ok);
+    segment v's capped window is [starts[v], starts[v]+counts[v]),
+    counts <= window (static).
+    """
+    n = values.shape[0]
+    scanned = _segmented_prefix(values, ids, jnp.add, 0.0, window)
+    ends = jnp.clip(starts + counts - 1, 0, n - 1)
+    out = scanned[ends]
+    return jnp.where((counts > 0)[:, None], out, 0.0)
+
+
+def sorted_segment_max(values, ids, starts, counts, fill=0.0, window=32):
+    """Segmented max over a SORTED id stream — shifted-doubling prefix
+    + gather at capped segment ends; no scatter. Empty segments return
+    ``fill``. counts must be <= window (static)."""
+    n = values.shape[0]
+    neg = jnp.asarray(jnp.finfo(values.dtype).min, values.dtype)
+    scanned = _segmented_prefix(values, ids, jnp.maximum, neg, window)
+    ends = jnp.clip(starts + counts - 1, 0, n - 1)
+    out = scanned[ends]
+    return jnp.where((counts > 0)[:, None], out, fill)
 
 
 def segment_mean(values, segment_ids, num_segments: int, valid=None):

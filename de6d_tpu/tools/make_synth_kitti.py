@@ -1,0 +1,148 @@
+"""Generate a tiny synthetic KITTI tree for smoke training / CI.
+
+Creates velodyne/.bin, calib, label_2 and ImageSets splits with planted
+Car boxes (points clustered inside each box), then runs the infos +
+gt-database build — the same tree shape `tests/test_kitti_pipeline.py`
+builds in its fixture, but at a persistent path and configurable size.
+
+Usage:
+    python -m de6d_tpu.tools.make_synth_kitti --out /tmp/synthkitti \
+        [--frames 8] [--train-frac 0.75] [--seed 0] [--points 3000]
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+CALIB_TXT = """P0: 700 0 600 0 0 700 180 0 0 0 1 0
+P1: 700 0 600 0 0 700 180 0 0 0 1 0
+P2: 700 0 600 44.85 0 700 180 0.21 0 0 1 0.003
+P3: 700 0 600 -330 0 700 180 2.3 0 0 1 0.003
+R0_rect: 0.9999 0.0098 -0.0074 -0.0098 0.9999 -0.0043 0.0074 0.0043 0.9999
+Tr_velo_to_cam: 0.0075 -0.9999 -0.0002 -0.0027 0.0148 0.0002 -0.9998 -0.0576 0.9998 0.0075 0.0148 -0.2721
+Tr_imu_to_velo: 1 0 0 0 0 1 0 0 0 0 1 0
+"""
+
+
+def build_tree(root: Path, frames: int, train_frac: float, seed: int,
+               n_points: int, cars_per_frame: int = 2):
+    from de6d_tpu.utils import box_np_ops, calibration_kitti
+
+    rng = np.random.RandomState(seed)
+    (root / "training" / "velodyne").mkdir(parents=True, exist_ok=True)
+    (root / "training" / "calib").mkdir(exist_ok=True)
+    (root / "training" / "label_2").mkdir(exist_ok=True)
+    (root / "ImageSets").mkdir(exist_ok=True)
+
+    lines_ = CALIB_TXT.splitlines()
+    calib = calibration_kitti.Calibration(
+        {
+            "P2": np.fromstring(
+                lines_[2].split(": ")[1], sep=" ", dtype=np.float32
+            ).reshape(3, 4),
+            "P3": np.zeros((3, 4), np.float32),
+            "R0": np.fromstring(
+                lines_[4].split(": ")[1], sep=" ", dtype=np.float32
+            ).reshape(3, 3),
+            "Tr_velo2cam": np.fromstring(
+                lines_[5].split(": ")[1], sep=" ", dtype=np.float32
+            ).reshape(3, 4),
+        }
+    )
+
+    ids = [f"{i:06d}" for i in range(frames)]
+    for fid in ids:
+        pts = np.zeros((n_points, 4), np.float32)
+        pts[:, 0] = rng.uniform(0, 60, n_points)
+        pts[:, 1] = rng.uniform(-25, 25, n_points)
+        pts[:, 2] = rng.uniform(-1.8, 1.0, n_points)
+        pts[:, 3] = rng.uniform(0, 1, n_points)
+
+        lines = []
+        per = max(60, n_points // (8 * cars_per_frame))
+        for g in range(cars_per_frame):
+            box = np.array(
+                [
+                    rng.uniform(8, 40), rng.uniform(-8, 8),
+                    rng.uniform(-1.2, -0.6),
+                    4.0, 1.6, 1.5, rng.uniform(-np.pi, np.pi),
+                ],
+                np.float32,
+            )
+            sl = slice(g * per, (g + 1) * per)
+            m = sl.stop - sl.start
+            pts[sl, 0] = box[0] + rng.uniform(-1.5, 1.5, m)
+            pts[sl, 1] = box[1] + rng.uniform(-0.7, 0.7, m)
+            pts[sl, 2] = box[2] + rng.uniform(-0.6, 0.6, m)
+            cam = box_np_ops.boxes3d_lidar_to_kitti_camera(
+                box[None], calib
+            )[0]
+            img = box_np_ops.boxes3d_kitti_camera_to_imageboxes(
+                cam[None], calib
+            )[0]
+            img = [
+                max(img[0], 0), max(img[1], 0),
+                max(img[2], img[0] + 80), max(img[3], img[1] + 60),
+            ]
+            lines.append(
+                "Car 0.00 0 %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f "
+                "%.2f %.2f %.2f %.2f"
+                % (
+                    -np.arctan2(-box[1], box[0]) + cam[6],
+                    img[0], img[1], img[2], img[3],
+                    cam[4], cam[5], cam[3],
+                    cam[0], cam[1], cam[2], cam[6],
+                )
+            )
+        pts.tofile(str(root / "training" / "velodyne" / f"{fid}.bin"))
+        (root / "training" / "calib" / f"{fid}.txt").write_text(CALIB_TXT)
+        (root / "training" / "label_2" / f"{fid}.txt").write_text(
+            "\n".join(lines) + "\n"
+        )
+    n_train = max(1, int(round(frames * train_frac)))
+    (root / "ImageSets" / "train.txt").write_text(
+        "\n".join(ids[:n_train]) + "\n"
+    )
+    (root / "ImageSets" / "val.txt").write_text(
+        "\n".join(ids[n_train:] or ids[-1:]) + "\n"
+    )
+    return ids[:n_train], ids[n_train:]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--train-frac", type=float, default=0.75)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--points", type=int, default=3000)
+    ap.add_argument("--cars", type=int, default=2)
+    args = ap.parse_args()
+
+    root = Path(args.out)
+    tr, va = build_tree(
+        root, args.frames, args.train_frac, args.seed, args.points,
+        args.cars,
+    )
+    print(f"tree at {root}: {len(tr)} train / {len(va)} val frames")
+
+    from de6d_tpu.config import Config, cfg_from_yaml_file
+    from de6d_tpu.datasets.kitti.kitti_dataset import KittiDataset
+    from de6d_tpu.tools.create_kitti_infos import create_infos
+
+    dataset_cfg = cfg_from_yaml_file(
+        "configs/dataset_configs/kitti_dataset.yaml"
+    )
+    dataset_cfg["DATA_PATH"] = str(root)
+    dataset_cfg.pop("DATA_AUGMENTOR", None)
+    create_infos(
+        KittiDataset, Config(dataset_cfg), ["Car"], str(root), workers=2
+    )
+    print("infos + gt database written")
+
+
+if __name__ == "__main__":
+    main()

@@ -129,3 +129,67 @@ def test_nms_valid_mask_and_padding(rng):
     )
     assert int(count) == 5
     np.testing.assert_array_equal(np.asarray(idx)[:5], np.arange(5))
+
+
+def test_pallas_mask_kernel_interpret(rng):
+    """The Pallas suppression-mask kernel (interpret mode) must agree
+    with the XLA IoU path on the region greedy NMS consumes: the strict
+    upper triangle within the valid candidate count. Tiles past the
+    count or below the diagonal skip compute and write zeros."""
+    from de6d_tpu.ops.pallas.nms_mask import nms_suppression_mask
+
+    n = 96
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, 0:2] = rng.uniform(-10, 10, (n, 2))
+    boxes[:, 3:5] = rng.uniform(1.5, 4, (n, 2))
+    boxes[:, 5] = 1.5
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    thresh = 0.2
+    ref = np.asarray(iou3d.boxes_iou_bev(boxes, boxes)) > thresh
+
+    for count, br, bc in [(n, 32, 32), (40, 32, 32), (0, 32, 32),
+                          (70, 16, 64)]:
+        got = np.asarray(
+            nms_suppression_mask(
+                boxes, thresh, valid_count=count, block_r=br, block_c=bc,
+                interpret=True,
+            )
+        ) > 0.5
+        upper = np.triu(np.ones((n, n), bool), k=1)
+        in_count = (np.arange(n)[:, None] < count) & (
+            np.arange(n)[None, :] < count
+        )
+        region = upper & in_count
+        np.testing.assert_array_equal(got[region], ref[region])
+        # fully-skipped tiles must be all zeros (skip is tile-granular;
+        # entries past the count inside needed tiles are harmless since
+        # those candidates are invalid in the resolve)
+        tr = (np.arange(n)[:, None] // br) * br  # tile row start
+        tc = (np.arange(n)[None, :] // bc) * bc  # tile col start
+        skipped = (tr >= count) | (tc >= count) | (tr >= tc + bc - 1)
+        assert not got[skipped].any()
+
+
+def test_nms_count_bounded_resolve(rng):
+    """nms() with a score gate (invalid suffix) must match the dense
+    oracle — exercises the count-bounded blocked resolve path."""
+    n = 128
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, 0:2] = rng.uniform(-15, 15, (n, 2))
+    boxes[:, 3:5] = rng.uniform(1.5, 4, (n, 2))
+    boxes[:, 5] = 1.5
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    valid = scores > 0.55  # ~45% survive, invalid form a suffix post-sort
+
+    iou_mat = np.asarray(iou3d.boxes_iou_bev(boxes, boxes))
+    masked_scores = np.where(valid, scores, -np.inf)
+    expect = [
+        i for i in _greedy_nms_oracle(iou_mat, masked_scores, 0.2)
+        if valid[i]
+    ]
+    idx, count = nms.nms(
+        boxes, scores, 0.2, pre_maxsize=n, post_maxsize=n, valid_mask=valid
+    )
+    got = np.asarray(idx)[: int(count)]
+    np.testing.assert_array_equal(sorted(got), sorted(expect))
