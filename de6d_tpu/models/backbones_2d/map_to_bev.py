@@ -81,3 +81,41 @@ class HeightCompression(nn.Module):
             "encoded_spconv_tensor_stride", 8
         )
         return batch_dict
+
+
+@MAP_TO_BEV.register
+class Conv2DCollapse(nn.Module):
+    """Collapse the Z axis of a camera voxel volume into channels and
+    reduce with a conv block (reference map_to_bev/conv2d_collapse.py:38
+    — CaDDN only). Consumes 'voxel_features' (B, Z, Y, X, C) →
+    'spatial_features' (B, Y, X, C_bev).
+
+    Layout note: the reference flattens (C, Z) with C-major channel
+    order; NHWC here flattens (Z, C) — a pure weight permutation."""
+
+    model_cfg: dict
+    grid_size: tuple  # (nx, ny, nz)
+
+    @property
+    def num_bev_features(self):
+        return int(self.model_cfg["NUM_BEV_FEATURES"])
+
+    @nn.compact
+    def __call__(self, batch_dict, train: bool = False):
+        from ..backbones_3d.vfe.image_vfe_modules.ffn import BasicBlock2D
+        from ..model_utils.dtype_utils import compute_dtype
+
+        vol = batch_dict["voxel_features"]  # (B, Z, Y, X, C)
+        b, nz, ny, nx, c = vol.shape
+        bev = jnp.transpose(vol, (0, 2, 3, 1, 4)).reshape(
+            b, ny, nx, nz * c
+        )
+        args = dict(self.model_cfg.get("ARGS", {}))
+        bev = BasicBlock2D(
+            out_channels=self.num_bev_features,
+            kernel_size=int(args.get("kernel_size", 1)),
+            dtype=compute_dtype(self.model_cfg),
+        )(bev, train)
+        batch_dict["spatial_features"] = bev
+        batch_dict["spatial_features_stride"] = 1
+        return batch_dict

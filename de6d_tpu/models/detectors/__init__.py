@@ -9,5 +9,6 @@ from .second_net_iou import SECONDNetIoU
 from .parta2_net import PartA2Net
 from .voxel_rcnn import VoxelRCNN
 from .ia_ssd import IASSD
+from .caddn import CaDDN
 
-__all__ = ["Detector3DTemplate", "DatasetSpec", "PointPillar", "Det6D", "SSD3D", "SECONDNet", "PointRCNN", "PVRCNN", "CenterPoint", "SECONDNetIoU", "PartA2Net", "VoxelRCNN", "IASSD"]
+__all__ = ["Detector3DTemplate", "DatasetSpec", "PointPillar", "Det6D", "SSD3D", "SECONDNet", "PointRCNN", "PVRCNN", "CenterPoint", "SECONDNetIoU", "PartA2Net", "VoxelRCNN", "IASSD", "CaDDN"]

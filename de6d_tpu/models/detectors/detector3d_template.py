@@ -74,17 +74,23 @@ class Detector3DTemplate(nn.Module):
 
         if "VFE" in cfg:
             vfe_cls = VFE.get(cfg["VFE"]["NAME"])
+            if vfe_cls.__name__ == "ImageVFE":
+                extra = dict(
+                    grid_size=spec.grid_size,
+                    point_cloud_range=spec.point_cloud_range,
+                    depth_downsample_factor=spec.depth_downsample_factor,
+                )
+            elif vfe_cls.__name__ in ("PillarVFE", "DynamicPillarVFE"):
+                extra = dict(
+                    voxel_size=spec.voxel_size,
+                    point_cloud_range=spec.point_cloud_range,
+                )
+            else:
+                extra = {}
             self.vfe = vfe_cls(
                 model_cfg=cfg["VFE"],
                 num_point_features=spec.point_feature_dim,
-                **(
-                    dict(
-                        voxel_size=spec.voxel_size,
-                        point_cloud_range=spec.point_cloud_range,
-                    )
-                    if vfe_cls.__name__ in ("PillarVFE", "DynamicPillarVFE")
-                    else {}
-                ),
+                **extra,
             )
             modules.append(self.vfe)
 
@@ -162,7 +168,11 @@ class Detector3DTemplate(nn.Module):
     def maybe_voxelize(self, batch_dict):
         """Device voxelization of padded (B, N, C) points, if the model
         consumes voxels/pillars and the pipeline didn't provide them."""
-        if "voxels" in batch_dict or "VFE" not in self.model_cfg:
+        if (
+            "voxels" in batch_dict
+            or "VFE" not in self.model_cfg
+            or "points" not in batch_dict  # camera-only path (CaDDN)
+        ):
             return batch_dict
         spec = self.spec
         points = batch_dict["points"]
