@@ -130,19 +130,27 @@ class AnchorHeadSingle(nn.Module):
         batch_dict["anchors"] = anchors
 
         if train:
-            tdict = assign_targets(
-                anchors,
-                jnp.asarray(self._groups_np),
-                jnp.asarray(self._matched_np),
-                jnp.asarray(self._unmatched_np),
-                jax.lax.stop_gradient(batch_dict["gt_boxes"]),
-                box_coder=self.box_coder,
-                match_height=bool(
-                    self.model_cfg["TARGET_ASSIGNER_CONFIG"].get(
-                        "MATCH_HEIGHT", False
-                    )
-                ),
-            )
+            tgt_cfg = self.model_cfg["TARGET_ASSIGNER_CONFIG"]
+            gt = jax.lax.stop_gradient(batch_dict["gt_boxes"])
+            if str(tgt_cfg.get("NAME")) == "ATSSTargetAssigner":
+                from .atss_assigner import assign_targets_atss
+
+                tdict = assign_targets_atss(
+                    anchors, gt,
+                    topk=int(tgt_cfg.get("TOPK", 9)),
+                    box_coder=self.box_coder,
+                    match_height=bool(tgt_cfg.get("MATCH_HEIGHT", False)),
+                )
+            else:
+                tdict = assign_targets(
+                    anchors,
+                    jnp.asarray(self._groups_np),
+                    jnp.asarray(self._matched_np),
+                    jnp.asarray(self._unmatched_np),
+                    gt,
+                    box_coder=self.box_coder,
+                    match_height=bool(tgt_cfg.get("MATCH_HEIGHT", False)),
+                )
             batch_dict.update(tdict)
 
         if (not train) or self.predict_boxes_when_training:
@@ -191,7 +199,11 @@ def anchor_head_loss(batch_dict, loss_cfg, num_class: int,
     cared = labels >= 0
     positives = labels > 0
     negatives = labels == 0
-    cls_weights = (negatives + positives).astype(jnp.float32)
+    pos_w = float(weights.get("pos_cls_weight", 1.0))
+    neg_w = float(weights.get("neg_cls_weight", 1.0))
+    cls_weights = (
+        neg_w * negatives + pos_w * positives
+    ).astype(jnp.float32)
     reg_weights = positives.astype(jnp.float32)
     pos_norm = jnp.clip(
         jnp.sum(positives, axis=1, keepdims=True).astype(jnp.float32), 1.0, None
