@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ...ops import iou3d
 
-INF = jnp.float32(3.4e38)
+INF = 3.4e38  # plain float: module-level jnp arrays init the backend
 
 
 def _rotate_z(points, angle):

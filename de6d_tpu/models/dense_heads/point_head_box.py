@@ -20,10 +20,17 @@ from ..model_utils.mlp import FCStack
 
 
 def assign_point_targets(points, valid, gt_boxes, box_coder=None,
-                         extra_width=None, num_class=1):
+                         extra_width=None, num_class=1,
+                         encode_dims=None):
     """(B, N, 3) points vs (B, M, 7+1[+2]) gts →
     cls labels (B, N) {-1,0,1..C}, reg labels (B, N, code) (optional),
-    box labels (B, N, ndim)."""
+    box labels (B, N, ndim).
+
+    encode_dims: optionally truncate gt boxes to this many dims for the
+    box-coder encode (PointHeadBox6D encodes only the 7-DoF part; the
+    9-DoF angles go through its rotation branch) while fg/ignore still
+    use the full 9-DoF containment test.
+    """
 
     def single(pts, v, gt):
         boxes = gt[:, :-1]
@@ -44,7 +51,11 @@ def assign_point_targets(points, valid, gt_boxes, box_coder=None,
             jnp.where(ignore | ~v, -1, 0),
         ).astype(jnp.int32)
         if box_coder is not None:
-            enc = box_coder.encode(boxes[safe], pts, cls_ids[safe])
+            enc_src = (
+                boxes[safe][:, :encode_dims]
+                if encode_dims is not None else boxes[safe]
+            )
+            enc = box_coder.encode(enc_src, pts, cls_ids[safe])
             reg_label = jnp.where(fg[:, None], enc, 0.0)
         else:
             reg_label = jnp.zeros((pts.shape[0], 1))

@@ -25,9 +25,20 @@ class _PointVoteDetector(Detector3DTemplate):
         num_class = (
             1 if head_cfg.get("CLASS_AGNOSTIC", False) else self.num_class
         )
-        loss, tb = point_vote_head_loss(
-            batch_dict, head_cfg, num_class, self._build_coder()
-        )
+        if head_cfg["NAME"] == "PointHeadBox6D":
+            # direct-regression ablation head (reference
+            # point_head_box6d.py — the paper's D.R. row)
+            from ..dense_heads.point_head_box6d import (
+                point_head_box6d_loss,
+            )
+
+            loss, tb = point_head_box6d_loss(
+                batch_dict, head_cfg, num_class, self._build_coder()
+            )
+        else:
+            loss, tb = point_vote_head_loss(
+                batch_dict, head_cfg, num_class, self._build_coder()
+            )
         tb["loss"] = loss
         return loss, tb
 

@@ -20,6 +20,7 @@ vectorized on the VPU.
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 # Geometry must be exact: pin einsum/matmul to full fp32 precision
@@ -35,13 +36,15 @@ _HI = jax.lax.Precision.HIGHEST
 #       . 3 -------- 0
 #       |/         |/
 #       2 -------- 1
+# numpy on purpose: a module-level jnp.array would initialize the JAX
+# backend at import time, defeating the CLIs' --platform override
 CORNER_TEMPLATE = (
-    jnp.array(
+    np.array(
         [
             [1, 1, -1], [1, -1, -1], [-1, -1, -1], [-1, 1, -1],
             [1, 1, 1], [1, -1, 1], [-1, -1, 1], [-1, 1, 1],
         ],
-        dtype=jnp.float32,
+        dtype=np.float32,
     )
     / 2.0
 )
@@ -87,6 +90,107 @@ def angles_to_matrix(yaw, pitch=None, roll=None):
     r22 = cx * cy
     rot = jnp.stack([r00, r01, r02, r10, r11, r12, r20, r21, r22], axis=-1)
     return rot.reshape(*jnp.shape(yaw), 3, 3)
+
+
+def matrix_to_quat(R):
+    """(..., 3, 3) → (..., 4) unit quaternion (w, x, y, z) — Shepperd's
+    branchless 4-candidate method (needed because the log map is
+    unstable near pi; Det6D yaws span the full circle)."""
+    m00, m11, m22 = R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+    qw = jnp.sqrt(jnp.clip(1 + tr, 1e-12, None)) / 2
+    qx = jnp.sqrt(jnp.clip(1 + m00 - m11 - m22, 1e-12, None)) / 2
+    qy = jnp.sqrt(jnp.clip(1 - m00 + m11 - m22, 1e-12, None)) / 2
+    qz = jnp.sqrt(jnp.clip(1 - m00 - m11 + m22, 1e-12, None)) / 2
+    # four candidate quaternions, each stable in its own region
+    c0 = jnp.stack([
+        qw,
+        (R[..., 2, 1] - R[..., 1, 2]) / (4 * qw),
+        (R[..., 0, 2] - R[..., 2, 0]) / (4 * qw),
+        (R[..., 1, 0] - R[..., 0, 1]) / (4 * qw),
+    ], -1)
+    c1 = jnp.stack([
+        (R[..., 2, 1] - R[..., 1, 2]) / (4 * qx),
+        qx,
+        (R[..., 0, 1] + R[..., 1, 0]) / (4 * qx),
+        (R[..., 0, 2] + R[..., 2, 0]) / (4 * qx),
+    ], -1)
+    c2 = jnp.stack([
+        (R[..., 0, 2] - R[..., 2, 0]) / (4 * qy),
+        (R[..., 0, 1] + R[..., 1, 0]) / (4 * qy),
+        qy,
+        (R[..., 1, 2] + R[..., 2, 1]) / (4 * qy),
+    ], -1)
+    c3 = jnp.stack([
+        (R[..., 1, 0] - R[..., 0, 1]) / (4 * qz),
+        (R[..., 0, 2] + R[..., 2, 0]) / (4 * qz),
+        (R[..., 1, 2] + R[..., 2, 1]) / (4 * qz),
+        qz,
+    ], -1)
+    mags = jnp.stack([qw, qx, qy, qz], -1)
+    pick = jnp.argmax(mags, axis=-1)
+    cands = jnp.stack([c0, c1, c2, c3], axis=-2)  # (..., 4cand, 4)
+    q = jnp.take_along_axis(
+        cands, pick[..., None, None], axis=-2
+    ).squeeze(-2)
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def matrix_to_rotvec(R):
+    """(..., 3, 3) → (..., 3) axis-angle (scipy as_rotvec parity)."""
+    q = matrix_to_quat(R)
+    # canonical sign: w >= 0 keeps angle in [0, pi]
+    q = q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
+    s = jnp.linalg.norm(q[..., 1:], axis=-1)
+    angle = 2 * jnp.arctan2(s, q[..., 0])
+    scale = jnp.where(s < 1e-8, 2.0, angle / jnp.where(s < 1e-8, 1.0, s))
+    return q[..., 1:] * scale[..., None]
+
+
+def rotvec_to_matrix(v):
+    """(..., 3) axis-angle → (..., 3, 3) (Rodrigues, sinc-stable)."""
+    theta = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    small = theta[..., 0] < 1e-8
+    axis = v / jnp.where(theta < 1e-8, 1.0, theta)
+    x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
+    c = jnp.cos(theta[..., 0])
+    s = jnp.sin(theta[..., 0])
+    one_c = 1 - c
+    rot = jnp.stack([
+        c + x * x * one_c, x * y * one_c - z * s, x * z * one_c + y * s,
+        y * x * one_c + z * s, c + y * y * one_c, y * z * one_c - x * s,
+        z * x * one_c - y * s, z * y * one_c + x * s, c + z * z * one_c,
+    ], -1).reshape(v.shape[:-1] + (3, 3))
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=v.dtype), rot.shape)
+    # first-order fallback for tiny angles: I + skew(v)
+    skew = jnp.stack([
+        jnp.zeros_like(x), -v[..., 2], v[..., 1],
+        v[..., 2], jnp.zeros_like(x), -v[..., 0],
+        -v[..., 1], v[..., 0], jnp.zeros_like(x),
+    ], -1).reshape(rot.shape)
+    return jnp.where(small[..., None, None], eye + skew, rot)
+
+
+def matrix_to_euler_zyx(R):
+    """(..., 3, 3) → (yaw, pitch, roll) matching scipy
+    as_euler('zyx') for matrices built by angles_to_matrix
+    (R = Rx(roll) @ Ry(pitch) @ Rz(yaw))."""
+    pitch = jnp.arcsin(jnp.clip(R[..., 0, 2], -1.0, 1.0))
+    yaw = jnp.arctan2(-R[..., 0, 1], R[..., 0, 0])
+    roll = jnp.arctan2(-R[..., 1, 2], R[..., 2, 2])
+    return yaw, pitch, roll
+
+
+def rotvec_to_euler_zyx(v):
+    """(..., 3) axis-angle → stacked (..., 3) (yaw, pitch, roll)."""
+    yaw, pitch, roll = matrix_to_euler_zyx(rotvec_to_matrix(v))
+    return jnp.stack([yaw, pitch, roll], axis=-1)
+
+
+def euler_zyx_to_rotvec(yaw, pitch, roll):
+    """Euler (zyx) → (..., 3) axis-angle (scipy
+    from_euler('zyx').as_rotvec parity)."""
+    return matrix_to_rotvec(angles_to_matrix(yaw, pitch, roll))
 
 
 def boxes_to_rotation_matrix(boxes):
