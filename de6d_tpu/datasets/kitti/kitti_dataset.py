@@ -295,7 +295,10 @@ class KittiDataset(DatasetTemplate):
         if data_dict is None:
             return None
         data_dict["image_shape"] = img_shape
-        data_dict.pop("calib", None)
+        # calib stays: collate passes it through per-sample and
+        # generate_prediction_dicts needs it for the lidar→camera
+        # transform (the bug only fired once a TRAINED model produced
+        # detections — untrained smokes short-circuit at n == 0)
         data_dict.pop("use_lead_xyz", None)
         data_dict.pop("road_plane", None)
         data_dict["frame_id"] = sample_idx

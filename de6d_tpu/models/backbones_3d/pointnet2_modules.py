@@ -121,6 +121,7 @@ class PointnetSAModuleFSMSG(nn.Module):
     weight_gamma: float = 1.0
     aggregation_mlp: tuple = ()
     confidence_mlp: tuple = ()
+    confidence_num_class: int = 0  # >0: per-class logits (IA-SSD)
     use_bn: bool = True
     pool_method: str = "max_pool"
 
@@ -196,7 +197,13 @@ class PointnetSAModuleFSMSG(nn.Module):
             h = SharedMLP(tuple(self.confidence_mlp), use_bn=self.use_bn)(
                 new_features, train
             )
-            new_scores = nn.Dense(1)(h).squeeze(-1)
+            if self.confidence_num_class > 0:
+                # per-class logits (IA-SSD ctr_aware sampling + the
+                # instance-aware SA losses); 0 = legacy scalar scores
+                # (SASA s-fps weights)
+                new_scores = nn.Dense(self.confidence_num_class)(h)
+            else:
+                new_scores = nn.Dense(1)(h).squeeze(-1)
 
         return new_xyz, new_features, new_scores, new_valid
 

@@ -95,10 +95,16 @@ class Detector3DTemplate(nn.Module):
             modules.append(self.vfe)
 
         if "BACKBONE_3D" in cfg:
-            self.backbone_3d = BACKBONES_3D.get(cfg["BACKBONE_3D"]["NAME"])(
+            bb_cls = BACKBONES_3D.get(cfg["BACKBONE_3D"]["NAME"])
+            bb_extra = (
+                dict(num_class=self.num_class)
+                if bb_cls.__name__ == "IASSD_Backbone" else {}
+            )
+            self.backbone_3d = bb_cls(
                 model_cfg=cfg["BACKBONE_3D"],
                 input_channels=self.vfe.output_feature_dim if "VFE" in cfg else spec.point_feature_dim,
                 grid_size=spec.grid_size,
+                **bb_extra,
             )
             modules.append(self.backbone_3d)
 

@@ -1,39 +1,28 @@
-"""IA-SSD detector.
+"""IA-SSD detector — exact composition.
 
-Parity: reference detectors/ia_ssd.py (:27) with IASSD_Backbone
-(backbones_3d/IASSD_backbone.py:192 — ctr-aware sampling encoder) and
-IASSD_Head (dense_heads/IASSD_head.py:841).
-
-Round-1 composition: the backbone is the fusion-sampling SA stack with
-confidence-MLP scores driving top-k ('c-fps' ≙ the reference's
-ctr_aware/cls sampling on semantic logits); the head is the vote head
-with PointResidual_BinOri_Coder. Known deviations, to close next
-round: per-class (rather than max-class) ctr-aware weighting and the
-IoU-aware classification target scaling of IASSD_Head.
+Parity: reference detectors/ia_ssd.py:27 with the exact
+IASSD_Backbone (backbones_3d/iassd_backbone.py ≙ reference
+IASSD_backbone.py:192) and IASSD_Head
+(dense_heads/iassd_head.py ≙ reference IASSD_head.py:841): loss =
+contextual vote + centerness-scaled center cls + instance-aware SA
+losses + bin-orientation box + corner (+ optional IoU3D).
 """
 
 from __future__ import annotations
 
-from ...registry import BACKBONES_3D, DETECTORS, POINT_HEADS
-from ..backbones_3d.pointnet2_backbone import _PointNet2Base
-from ..dense_heads.point_head_vote import _PointHeadVoteBase
-from .det6d import _PointVoteDetector
-
-
-@BACKBONES_3D.register
-class IASSD_Backbone(_PointNet2Base):
-    """Ctr-aware sampling encoder — same SA machinery; configs select
-    ['d-fps', ..., 'c-fps'] per layer."""
-
-    def __call__(self, batch_dict, train: bool = False):
-        return self.run_backbone(batch_dict, train)
-
-
-@POINT_HEADS.register
-class IASSD_Head(_PointHeadVoteBase):
-    """Contextual-centroid vote head (bin-ori coder)."""
+from ...registry import DETECTORS
+from ..backbones_3d.iassd_backbone import IASSD_Backbone  # noqa: F401
+from ..dense_heads.iassd_head import IASSD_Head, iassd_head_loss  # noqa: F401
+from .detector3d_template import Detector3DTemplate
 
 
 @DETECTORS.register
-class IASSD(_PointVoteDetector):
-    pass
+class IASSD(Detector3DTemplate):
+    def get_training_loss(self, batch_dict):
+        head_cfg = self.model_cfg["POINT_HEAD"]
+        num_class = (
+            1 if head_cfg.get("CLASS_AGNOSTIC", False) else self.num_class
+        )
+        loss, tb = iassd_head_loss(batch_dict, head_cfg, num_class)
+        tb["loss"] = loss
+        return loss, tb

@@ -110,8 +110,14 @@ def main():
     optimizer, lr_schedule = None, None
 
     def build_opt(params):
+        # the schedule horizon must follow the ACTUAL epoch count
+        # (--epochs overrides cfg NUM_EPOCHS); otherwise OneCycle
+        # anneals to ~0 after cfg-epochs and the rest of the run
+        # trains at LR_CLIP
+        opt_cfg = dict(cfg.OPTIMIZATION)
+        opt_cfg["NUM_EPOCHS"] = epochs
         return build_optimizer_and_schedule(
-            cfg.OPTIMIZATION, params, steps_per_epoch=len(train_loader)
+            opt_cfg, params, steps_per_epoch=len(train_loader)
         )
 
     variables = model.init(jax.random.PRNGKey(0), dict(sample), train=False)
