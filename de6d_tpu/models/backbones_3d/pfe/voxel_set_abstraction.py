@@ -98,17 +98,29 @@ class VoxelSetAbstraction(nn.Module):
 
         if "raw_points" in sources:
             src = sa_cfg["raw_points"]
-            sa = PointnetSAModuleFSMSG(
-                radii=tuple(float(r) for r in src["POOL_RADIUS"]),
-                nsamples=tuple(int(s) for s in src["NSAMPLE"]),
-                mlps=tuple(tuple(m) for m in src["MLPS"]),
-                use_xyz=True,
-            )
             feats = points[..., 3:] if points.shape[-1] > 3 else None
-            _, f, _, _ = sa(
-                points[..., :3], feats, mask,
-                new_xyz=keypoints, new_valid=kp_valid, train=train,
-            )
+            if str(src.get("NAME", "")) == "VectorPoolAggregationModuleMSG":
+                # PV-RCNN++ VectorPool aggregation (reference
+                # pointnet2_stack/pointnet2_modules.py:430)
+                from ..vectorpool import VectorPoolAggregationModuleMSG
+
+                if feats is None:
+                    feats = jnp.ones(points.shape[:2] + (1,), points.dtype)
+                f = VectorPoolAggregationModuleMSG(model_cfg=src)(
+                    points[..., :3], feats, mask,
+                    keypoints, kp_valid, train,
+                )
+            else:
+                sa = PointnetSAModuleFSMSG(
+                    radii=tuple(float(r) for r in src["POOL_RADIUS"]),
+                    nsamples=tuple(int(s) for s in src["NSAMPLE"]),
+                    mlps=tuple(tuple(m) for m in src["MLPS"]),
+                    use_xyz=True,
+                )
+                _, f, _, _ = sa(
+                    points[..., :3], feats, mask,
+                    new_xyz=keypoints, new_valid=kp_valid, train=train,
+                )
             features_list.append(f)
 
         ms = batch_dict.get("multi_scale_3d_features", {})
@@ -139,16 +151,23 @@ class VoxelSetAbstraction(nn.Module):
 
             centers, cvalid = jax.vmap(centers_one)(keys_v)
             src = sa_cfg[name]
-            sa = PointnetSAModuleFSMSG(
-                radii=tuple(float(r) for r in src["POOL_RADIUS"]),
-                nsamples=tuple(int(s) for s in src["NSAMPLE"]),
-                mlps=tuple(tuple(m) for m in src["MLPS"]),
-                use_xyz=True,
-            )
-            _, f, _, _ = sa(
-                centers, feats_v, cvalid,
-                new_xyz=keypoints, new_valid=kp_valid, train=train,
-            )
+            if str(src.get("NAME", "")) == "VectorPoolAggregationModuleMSG":
+                from ..vectorpool import VectorPoolAggregationModuleMSG
+
+                f = VectorPoolAggregationModuleMSG(model_cfg=src)(
+                    centers, feats_v, cvalid, keypoints, kp_valid, train,
+                )
+            else:
+                sa = PointnetSAModuleFSMSG(
+                    radii=tuple(float(r) for r in src["POOL_RADIUS"]),
+                    nsamples=tuple(int(s) for s in src["NSAMPLE"]),
+                    mlps=tuple(tuple(m) for m in src["MLPS"]),
+                    use_xyz=True,
+                )
+                _, f, _, _ = sa(
+                    centers, feats_v, cvalid,
+                    new_xyz=keypoints, new_valid=kp_valid, train=train,
+                )
             features_list.append(f)
 
         kp_features = jnp.concatenate(features_list, axis=-1)

@@ -161,8 +161,12 @@ class Detector3DTemplate(nn.Module):
                 if roi_cls.__name__ == "SECONDHead"
                 else {}
             )
+            roi_num_class = (
+                1 if cfg["ROI_HEAD"].get("CLASS_AGNOSTIC", False)
+                else self.num_class
+            )
             self.roi_head = roi_cls(
-                model_cfg=cfg["ROI_HEAD"], num_class=self.num_class, **extra
+                model_cfg=cfg["ROI_HEAD"], num_class=roi_num_class, **extra
             )
             modules.append(self.roi_head)
 
