@@ -285,3 +285,192 @@ def global_frustum_dropout(gt_boxes, points, intensity_range, rng,
         side = ((pang - ang + np.pi) % (2 * np.pi) - np.pi) < 0
     drop = in_frustum & side
     return gt_boxes, points[~drop]
+
+
+# ---------------------------------------------------------------------------
+# local pyramid augmentations (PA-AUG)
+# ---------------------------------------------------------------------------
+# Parity: reference local_pyramid_{dropout,sparsify,swap}
+# (augmentor_utils.py:496-608). The reference calls
+# box_utils.boxes_to_pyramids / points_in_pyramids_mask which are absent
+# from its own snapshot (dead upstream imports); the geometry here follows
+# the OpenPCDet/PA-AUG semantics: each box splits into 6 square pyramids
+# (apex = box center, base = one face), points are parametrized by
+# (alpha, beta) in the base plane and gamma along the apex axis.
+
+def boxes_to_pyramids(boxes):
+    """(N, 7+) boxes → (N, 6, 15) pyramids [apex(3), c0, c1, c2, c3]."""
+    from ...utils import box_np_ops
+
+    corners = box_np_ops.boxes_to_corners_3d(boxes[:, :7])  # (N, 8, 3)
+    center = boxes[:, 0:3]
+    # faces in our corner template order (geometry.CORNER_TEMPLATE):
+    # bottom ring 0..3, top ring 4..7
+    faces = np.array([
+        [0, 1, 5, 4],  # +x
+        [1, 2, 6, 5],  # -y
+        [2, 3, 7, 6],  # -x
+        [3, 0, 4, 7],  # +y
+        [0, 1, 2, 3],  # bottom
+        [4, 5, 6, 7],  # top
+    ])
+    face_corners = corners[:, faces, :]  # (N, 6, 4, 3)
+    apex = np.broadcast_to(center[:, None, None, :],
+                           face_corners[:, :, :1, :].shape)
+    pyr = np.concatenate([apex, face_corners], axis=2)  # (N, 6, 5, 3)
+    return pyr.reshape(boxes.shape[0], 6, 15)
+
+
+def _pyramid_ratios(points, pyramid):
+    """points (M, 3+), pyramid (15,) → (alpha, beta, gamma) arrays
+    (reference local_pyramid_swap.get_points_ratio :532-539)."""
+    surface_center = (
+        pyramid[3:6] + pyramid[6:9] + pyramid[9:12] + pyramid[12:]
+    ) / 4.0
+    v0 = pyramid[6:9] - pyramid[3:6]
+    v1 = pyramid[12:] - pyramid[3:6]
+    v2 = pyramid[0:3] - surface_center
+    alphas = ((points[:, 0:3] - pyramid[3:6]) * v0).sum(-1) / max(
+        np.power(v0, 2).sum(), 1e-12
+    )
+    betas = ((points[:, 0:3] - pyramid[3:6]) * v1).sum(-1) / max(
+        np.power(v1, 2).sum(), 1e-12
+    )
+    gammas = ((points[:, 0:3] - surface_center) * v2).sum(-1) / max(
+        np.power(v2, 2).sum(), 1e-12
+    )
+    return alphas, betas, gammas
+
+
+def points_in_pyramids_mask(points, pyramids):
+    """(M, 3+), (K, 15) → (M, K) bool: inside the square pyramid iff
+    gamma ∈ [0, 1] and (alpha, beta) within the linearly shrinking
+    cross-section."""
+    m, k = points.shape[0], pyramids.shape[0]
+    mask = np.zeros((m, k), dtype=bool)
+    for i in range(k):
+        a, b_, g = _pyramid_ratios(points, pyramids[i])
+        shrink = 0.5 * (1.0 - g)
+        mask[:, i] = (
+            (g >= 0.0) & (g <= 1.0)
+            & (np.abs(a - 0.5) <= shrink) & (np.abs(b_ - 0.5) <= shrink)
+        )
+    return mask
+
+
+def local_pyramid_dropout(gt_boxes, points, dropout_prob, rng):
+    """Drop all points of one random pyramid per selected box
+    (reference :496-505)."""
+    drop = rng.uniform(0, 1, gt_boxes.shape[0]) <= dropout_prob
+    if drop.sum() != 0:
+        pyr = boxes_to_pyramids(gt_boxes[drop])
+        face = rng.randint(0, 6, pyr.shape[0])
+        chosen = pyr[np.arange(pyr.shape[0]), face]
+        masks = points_in_pyramids_mask(points, chosen)
+        points = points[np.logical_not(masks.any(-1))]
+    return gt_boxes, points
+
+
+def local_pyramid_sparsify(gt_boxes, points, prob, max_num_pts, rng):
+    """Subsample one random pyramid per selected box down to
+    max_num_pts (reference :507-528)."""
+    sel = rng.uniform(0, 1, gt_boxes.shape[0]) <= prob
+    if sel.sum() != 0:
+        pyr = boxes_to_pyramids(gt_boxes[sel])
+        face = rng.randint(0, 6, pyr.shape[0])
+        chosen = pyr[np.arange(pyr.shape[0]), face]
+        masks = points_in_pyramids_mask(points, chosen)
+        num = masks.sum(0)
+        valid = num > max_num_pts
+        if valid.sum() != 0:
+            keep_masks = masks[:, valid]
+            remain = points[np.logical_not(keep_masks.any(-1))]
+            filtered = np.zeros(
+                [valid.sum() * max_num_pts, points.shape[1]],
+                dtype=points.dtype,
+            )
+            for i in range(valid.sum()):
+                idx = rng.choice(
+                    int(keep_masks[:, i].sum()), size=max_num_pts
+                )
+                filtered[i * max_num_pts:(i + 1) * max_num_pts] = points[
+                    keep_masks[:, i]
+                ][idx]
+            points = np.concatenate([remain, filtered], axis=0)
+    return gt_boxes, points
+
+
+def local_pyramid_swap(gt_boxes, points, swap_prob, max_num_pts, rng):
+    """Swap the points of matching pyramids between two boxes via the
+    (alpha, beta, gamma) parametrization, remapping intensity ranges
+    (reference :531-608)."""
+
+    def recover(ratios, pyramid):
+        alphas, betas, gammas = ratios
+        surface_center = (
+            pyramid[3:6] + pyramid[6:9] + pyramid[9:12] + pyramid[12:]
+        ) / 4.0
+        v0 = pyramid[6:9] - pyramid[3:6]
+        v1 = pyramid[12:] - pyramid[3:6]
+        v2 = pyramid[0:3] - surface_center
+        return (
+            alphas[:, None] * v0 + betas[:, None] * v1
+        ) + pyramid[3:6] + gammas[:, None] * v2
+
+    sel = rng.uniform(0, 1, gt_boxes.shape[0]) <= swap_prob
+    if sel.sum() == 0:
+        return gt_boxes, points
+    pyr = boxes_to_pyramids(gt_boxes[sel]).reshape(-1, 6, 15)
+    masks = points_in_pyramids_mask(
+        points, pyr.reshape(-1, 15)
+    )  # (M, Nb*6)
+    nums = masks.sum(0).reshape(pyr.shape[0], 6)
+    valid = nums > max_num_pts  # (Nb, 6)
+    if valid.sum() == 0:
+        return gt_boxes, points
+    vb, vp = np.nonzero(valid)
+    src_boxes = np.unique(vb)
+    src_faces = [rng.choice(vp[vb == i]) for i in src_boxes]
+    tgt_boxes = np.array([
+        rng.choice(np.where(valid[:, j])[0])
+        if np.where(valid[:, j])[0].shape[0] > 0 else i
+        for i, j in zip(src_boxes, src_faces)
+    ])
+    src_faces = np.array(src_faces)
+    differ = src_boxes != tgt_boxes
+    if differ.sum() == 0:
+        return gt_boxes, points
+    src_boxes, tgt_boxes = src_boxes[differ], tgt_boxes[differ]
+    src_faces = src_faces[differ]
+    src_pyr = pyr[src_boxes, src_faces]
+    tgt_pyr = pyr[tgt_boxes, src_faces]
+    pairs = np.concatenate([src_pyr, tgt_pyr], axis=0)
+    swap_masks = points_in_pyramids_mask(points, pairs)
+    remain = points[np.logical_not(swap_masks.any(-1))]
+
+    out = []
+    npairs = src_pyr.shape[0]
+    for i in range(npairs):
+        src_pts = points[swap_masks[:, i]]
+        tgt_pts = points[swap_masks[:, i + npairs]]
+
+        def iratio(p):
+            lo, hi = p[:, -1:].min(), p[:, -1:].max()
+            return (p[:, -1:] - lo) / np.clip(hi - lo, 1e-6, 1), hi, lo
+
+        sr, smax, smin = iratio(src_pts)
+        tr, tmax, tmin = iratio(tgt_pts)
+        new_src = recover(
+            _pyramid_ratios(tgt_pts, tgt_pyr[i]), src_pyr[i]
+        )
+        new_tgt = recover(_pyramid_ratios(src_pts, src_pyr[i]), tgt_pyr[i])
+        new_src = np.concatenate(
+            [new_src, tr * (smax - smin) + smin], axis=1
+        )
+        new_tgt = np.concatenate(
+            [new_tgt, sr * (tmax - tmin) + tmin], axis=1
+        )
+        out.append(new_src.astype(points.dtype))
+        out.append(new_tgt.astype(points.dtype))
+    points = np.concatenate([remain] + out, axis=0)
+    return gt_boxes, points

@@ -163,6 +163,82 @@ class DataAugmentor:
 
         return _apply
 
+    def random_local_pyramid_dropout(self, config=None):
+        def _apply(data_dict, rng, config=config):
+            prob = float(config["all"]["PROB"]) if "all" in config else None
+            names = data_dict["gt_names"]
+            cls_list = (
+                np.unique(names) if "all" in config
+                else [k for k in config.keys() if k != "NAME"]
+            )
+            for cls in cls_list:
+                p = prob if prob is not None else float(config[cls]["PROB"])
+                m = names == cls
+                _, data_dict["points"] = augmentor_utils.local_pyramid_dropout(
+                    data_dict["gt_boxes"][m], data_dict["points"], p, rng
+                )
+            return data_dict
+
+        return _apply
+
+    def random_local_pyramid_sparsify(self, config=None):
+        def _apply(data_dict, rng, config=config):
+            names = data_dict["gt_names"]
+            for_all = "all" in config
+            cls_list = (
+                np.unique(names) if for_all
+                else [k for k in config.keys() if k != "NAME"]
+            )
+            for cls in cls_list:
+                key = "all" if for_all else cls
+                p = float(config[key]["PROB"])
+                max_num = int(config[key]["MAX_NUM"])
+                m = names == cls
+                _, data_dict["points"] = (
+                    augmentor_utils.local_pyramid_sparsify(
+                        data_dict["gt_boxes"][m], data_dict["points"],
+                        p, max_num, rng,
+                    )
+                )
+            return data_dict
+
+        return _apply
+
+    def random_local_pyramid_swap(self, config=None):
+        def _apply(data_dict, rng, config=config):
+            names = data_dict["gt_names"]
+            for_all = "all" in config
+            cls_list = (
+                np.unique(names) if for_all
+                else [k for k in config.keys() if k != "NAME"]
+            )
+            for cls in cls_list:
+                key = "all" if for_all else cls
+                p = float(config[key]["PROB"])
+                max_num = int(config[key]["MAX_NUM"])
+                m = names == cls
+                _, data_dict["points"] = augmentor_utils.local_pyramid_swap(
+                    data_dict["gt_boxes"][m], data_dict["points"],
+                    p, max_num, rng,
+                )
+            return data_dict
+
+        return _apply
+
+    def random_local_pyramid_aug(self, config=None):
+        """Composite dropout → sparsify → swap (reference
+        data_augmentor.py:252-261)."""
+        drop = self.random_local_pyramid_dropout(config=config["DROPOUT"])
+        sparse = self.random_local_pyramid_sparsify(
+            config=config["SPARSIFY"]
+        )
+        swap = self.random_local_pyramid_swap(config=config["SWAP"])
+
+        def _apply(data_dict, rng):
+            return swap(sparse(drop(data_dict, rng), rng), rng)
+
+        return _apply
+
     def random_make_slope_in_scene(self, config=None):
         """SlopeAug (reference data_augmentor.py:265-282): with
         probability PROB, synthesize a sloped region; gt boxes become
