@@ -6,8 +6,13 @@ whose BEV rotated IoU with existing/accepted boxes is nonzero
 (:232-236), optionally snaps z to the road plane (:137-154), removes
 scene points inside pasted boxes (:195-199), and appends object points.
 
-Deviations: no /dev/shm SharedArray cache yet (single-host pipeline);
-per-sampler RandomState instead of global np.random.
+Shared-memory cache: with USE_SHARED_MEMORY + DB_DATA_PATH the packed
+gt-point array is published once per host through the stdlib
+``multiprocessing.shared_memory`` (replacing the reference's
+SharedArray /dev/shm blobs, database_sampler.py:71-86) and every
+loader worker indexes it by ``global_data_offset`` instead of reading
+per-object .bin files.
+Per-sampler RandomState instead of global np.random.
 """
 
 from __future__ import annotations
@@ -44,6 +49,14 @@ class DataBaseSampler:
         for func_name, val in sampler_cfg.get("PREPARE", {}).items():
             self.db_infos = getattr(self, func_name)(self.db_infos, val)
 
+        self.use_shared_memory = bool(
+            sampler_cfg.get("USE_SHARED_MEMORY", False)
+        )
+        self._shm = None
+        self.gt_database_data = None
+        if self.use_shared_memory:
+            self.gt_database_data = self._load_db_to_shared_memory()
+
         self.use_road_plane = sampler_cfg.get("USE_ROAD_PLANE", False)
         self.limit_whole_scene = sampler_cfg.get("LIMIT_WHOLE_SCENE", False)
         self.sample_groups = {}
@@ -57,6 +70,44 @@ class DataBaseSampler:
                     "pointer": len(self.db_infos.get(cls, [])),
                     "indices": np.arange(len(self.db_infos.get(cls, []))),
                 }
+
+    def _load_db_to_shared_memory(self):
+        """Publish the packed gt-point npy once per host (reference
+        load_db_to_shared_memory :71-86, SharedArray → stdlib
+        shared_memory)."""
+        from multiprocessing import shared_memory
+
+        db_data_path = (
+            self.root_path / self.sampler_cfg["DB_DATA_PATH"][0]
+        )
+        key = "de6d_" + db_data_path.name.replace(".", "_")
+        try:
+            shm = shared_memory.SharedMemory(name=key)
+            created = False
+        except FileNotFoundError:
+            data = np.load(db_data_path)
+            shm = shared_memory.SharedMemory(
+                name=key, create=True, size=max(data.nbytes, 1)
+            )
+            buf = np.ndarray(data.shape, data.dtype, buffer=shm.buf)
+            buf[:] = data
+            created = True
+        if created:
+            self._shape_dtype = (data.shape, data.dtype)
+        else:
+            # shape rides in a sidecar (attachers can't infer it)
+            data = np.load(db_data_path, mmap_mode="r")
+            self._shape_dtype = (data.shape, data.dtype)
+        self._shm = shm
+        if self.logger:
+            self.logger.info(
+                f"gt database {'published to' if created else 'attached from'}"
+                f" shared memory ({key})"
+            )
+        arr = np.ndarray(
+            self._shape_dtype[0], self._shape_dtype[1], buffer=shm.buf
+        )
+        return arr
 
     # -- PREPARE filters (reference :88-110) --------------------------------
     def filter_by_difficulty(self, db_infos, removed_difficulty):
@@ -158,13 +209,21 @@ class DataBaseSampler:
         obj_points_list = []
         kept_rows = []
         for k, info in enumerate(total_valid_sampled):
-            file_path = self.root_path / info["path"]
-            if not file_path.exists():
-                continue
-            obj_points = np.fromfile(
-                str(file_path), dtype=np.float32
-            ).reshape(-1, self.sampler_cfg.get("NUM_POINT_FEATURES", 4))
-            obj_points = obj_points.copy()
+            if self.gt_database_data is not None:
+                start = int(info["global_data_offset"])
+                num = int(info["num_points_in_gt"])
+                obj_points = np.array(
+                    self.gt_database_data[start:start + num]
+                )
+            else:
+                file_path = self.root_path / info["path"]
+                if not file_path.exists():
+                    continue
+                obj_points = np.fromfile(
+                    str(file_path), dtype=np.float32
+                ).reshape(
+                    -1, self.sampler_cfg.get("NUM_POINT_FEATURES", 4)
+                ).copy()
             obj_points[:, :3] += sampled_gt_boxes[k, :3].astype(np.float32)
             obj_points_list.append(obj_points)
             kept_rows.append(k)

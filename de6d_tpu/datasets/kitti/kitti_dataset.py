@@ -204,14 +204,19 @@ class KittiDataset(DatasetTemplate):
         return infos
 
     def create_groundtruth_database(self, info_path, used_classes=None,
-                                    split="train"):
+                                    split="train", packed=False):
         """Cut gt objects out of scenes into a sampling database
-        (reference :224-282)."""
+        (reference :224-282). With ``packed`` also write a single
+        ``kitti_gt_database_{split}_global.npy`` with per-object
+        ``global_data_offset`` entries — the layout the reference's
+        shared-memory path consumes (database_sampler.py:71-86)."""
         db_path = self.root_path / f"gt_database_{split}" \
             if split != "train" else self.root_path / "gt_database"
         db_info_save_path = self.root_path / f"kitti_dbinfos_{split}.pkl"
         db_path.mkdir(parents=True, exist_ok=True)
         all_db_infos = {}
+        packed_chunks = []
+        packed_offset = 0
         with open(info_path, "rb") as f:
             infos = pickle.load(f)
         for info in infos:
@@ -244,7 +249,21 @@ class KittiDataset(DatasetTemplate):
                     "num_points_in_gt": int(mask.sum()),
                     "difficulty": int(difficulty[i]),
                 }
+                if packed:
+                    db_info["global_data_offset"] = packed_offset
+                    packed_chunks.append(gt_points.astype(np.float32))
+                    packed_offset += gt_points.shape[0]
                 all_db_infos.setdefault(names[i], []).append(db_info)
+        if packed:
+            data = (
+                np.concatenate(packed_chunks, axis=0)
+                if packed_chunks
+                else np.zeros((0, 4), np.float32)
+            )
+            np.save(
+                self.root_path / f"kitti_gt_database_{split}_global.npy",
+                data,
+            )
         with open(db_info_save_path, "wb") as f:
             pickle.dump(all_db_infos, f)
         return db_info_save_path

@@ -252,3 +252,74 @@ def test_make_slope_generator(kitti_root, tmp_path):
     assert hasattr(objs[0], "rx")
     planes = list((out / "training" / "slope_planes").glob("*.txt"))
     assert len(planes) == 4
+
+
+def test_packed_gt_database_and_shared_memory(kitti_root):
+    """Packed gt-db npy + shared-memory sampler path (reference
+    database_sampler.py:71-86 shm cache)."""
+    import pickle
+
+    from de6d_tpu.datasets.kitti.kitti_dataset import KittiDataset
+    from de6d_tpu.datasets.augmentor.database_sampler import DataBaseSampler
+    from de6d_tpu.config import Config
+
+    cfg = dataset_cfg(kitti_root)
+    ds = KittiDataset(
+        dataset_cfg=cfg, class_names=["Car"], root_path=kitti_root,
+        training=False,
+    )
+    ds.split = "train"
+    ds.sample_id_list = [
+        x.strip()
+        for x in open(kitti_root / "ImageSets" / "train.txt").readlines()
+    ]
+    infos = ds.get_infos(num_workers=1, has_label=True,
+                         count_inside_pts=True)
+    info_path = kitti_root / "kitti_infos_train.pkl"
+    with open(info_path, "wb") as f:
+        pickle.dump(infos, f)
+    ds.create_groundtruth_database(
+        info_path, used_classes=["Car"], split="train", packed=True
+    )
+    npy = kitti_root / "kitti_gt_database_train_global.npy"
+    assert npy.exists()
+    db = pickle.load(open(kitti_root / "kitti_dbinfos_train.pkl", "rb"))
+    assert all("global_data_offset" in x for x in db["Car"])
+
+    sampler_cfg = Config({
+        "NAME": "gt_sampling",
+        "DB_INFO_PATH": ["kitti_dbinfos_train.pkl"],
+        "DB_DATA_PATH": ["kitti_gt_database_train_global.npy"],
+        "USE_SHARED_MEMORY": True,
+        "PREPARE": {},
+        "SAMPLE_GROUPS": ["Car:3"],
+        "NUM_POINT_FEATURES": 4,
+        "LIMIT_WHOLE_SCENE": False,
+    })
+    sampler = DataBaseSampler(
+        root_path=kitti_root, sampler_cfg=sampler_cfg,
+        class_names=["Car"],
+    )
+    try:
+        rng = np.random.RandomState(0)
+        pts = np.zeros((500, 4), np.float32)
+        pts[:, 0] = rng.uniform(45, 60, 500)
+        pts[:, 1] = rng.uniform(-25, 25, 500)
+        dd = {
+            "gt_boxes": np.zeros((0, 7), np.float32),
+            "gt_names": np.array([], dtype="<U10"),
+            "points": pts,
+        }
+        out = sampler(dict(dd), rng)
+        assert (out["gt_names"] == "Car").sum() > 0
+        assert out["points"].shape[0] > 500  # object points appended
+        # shm content equals the on-disk packed data
+        np.testing.assert_array_equal(
+            np.asarray(sampler.gt_database_data), np.load(npy)
+        )
+    finally:
+        sampler._shm.close()
+        try:
+            sampler._shm.unlink()
+        except FileNotFoundError:
+            pass
