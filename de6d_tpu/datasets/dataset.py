@@ -137,7 +137,12 @@ class DatasetTemplate:
     def collate_batch(self, batch_list):
         """Fixed-shape collate. Returns dict of stacked np arrays."""
         batch = {}
-        keys = batch_list[0].keys()
+        # only keys present in EVERY sample are batchable (probabilistic
+        # augs like SlopeAug add per-sample extras such as 'slope_plane')
+        keys = [
+            k for k in batch_list[0].keys()
+            if all(k in d for d in batch_list)
+        ]
         b = len(batch_list)
 
         for key in keys:

@@ -87,6 +87,12 @@ class DataLoader:
         base_seed = (self.seed + self._epoch * 10007) % (1 << 31)
 
         def producer(out_q):
+            try:
+                self._produce(out_q)
+            except BaseException as e:  # propagate to the consumer
+                out_q.put(e)
+
+        def _produce(out_q):
             with ThreadPoolExecutor(self.num_workers) as pool:
                 futures = []
                 for b in range(nb):
@@ -112,11 +118,15 @@ class DataLoader:
                     )
             out_q.put(None)
 
+        self._produce = _produce
+
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         t = threading.Thread(target=producer, args=(q,), daemon=True)
         t.start()
         while True:
             batch = q.get()
+            if isinstance(batch, BaseException):
+                raise batch  # worker failures must not hang the loop
             if batch is None:
                 break
             yield batch
