@@ -75,7 +75,9 @@ def main():
                            np.float32),
         "points_mask": np.ones((1, args.max_points), bool),
     }
-    variables = model.init(jax.random.PRNGKey(0), dict(sample), train=False)
+    variables = jax.jit(
+        lambda rng, b: model.init(rng, b, train=False)
+    )(jax.random.PRNGKey(0), dict(sample))
     if args.ckpt:
         optimizer, _ = build_optimizer_and_schedule(
             cfg.OPTIMIZATION, variables["params"], steps_per_epoch=1

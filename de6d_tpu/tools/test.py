@@ -64,7 +64,9 @@ def _setup(args, logger):
     )
     device_keys = ("points", "points_mask", "gt_boxes")
     sample = {k: sample_batch[k] for k in device_keys if k in sample_batch}
-    variables = model.init(jax.random.PRNGKey(0), dict(sample), train=False)
+    variables = jax.jit(
+        lambda rng, b: model.init(rng, b, train=False)
+    )(jax.random.PRNGKey(0), dict(sample))
     optimizer, _ = build_optimizer_and_schedule(
         cfg.OPTIMIZATION, variables["params"], steps_per_epoch=1
     )

@@ -120,7 +120,11 @@ def main():
             opt_cfg, params, steps_per_epoch=len(train_loader)
         )
 
-    variables = model.init(jax.random.PRNGKey(0), dict(sample), train=False)
+    # jit the init: eager init dispatches thousands of individual ops
+    # (and one compile per lax loop) — minutes through the TPU tunnel
+    variables = jax.jit(
+        lambda rng, b: model.init(rng, b, train=False)
+    )(jax.random.PRNGKey(0), dict(sample))
     optimizer, lr_schedule = build_opt(variables["params"])
     state = create_train_state(model, optimizer, sample)
 

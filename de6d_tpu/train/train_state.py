@@ -31,7 +31,9 @@ class TrainState:
 def create_train_state(model, optimizer, sample_batch, rng=None):
     """Init variables on the sample batch shapes and wrap in TrainState."""
     rng = jax.random.PRNGKey(0) if rng is None else rng
-    variables = model.init(rng, dict(sample_batch), train=False)
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, train=False)
+    )(rng, dict(sample_batch))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = optimizer.init(params)
