@@ -123,22 +123,29 @@ class NuScenesDataset(DatasetTemplate):
         return annos
 
     def evaluation(self, det_annos, class_names, **kwargs):
-        try:
-            from nuscenes import NuScenes  # noqa: F401
-        except ImportError:
-            # devkit absent: report a center-distance matched summary so
-            # training loops still get a scalar (official eval requires
-            # the devkit + full dataset metadata)
-            if self.logger:
-                self.logger.warning(
-                    "nuscenes-devkit not installed; returning simple "
-                    "distance-AP summary instead of the official metric"
-                )
-            return self._simple_eval(det_annos, class_names)
-        raise NotImplementedError(
-            "official nuscenes eval requires devkit database context; "
-            "hook up in deployment image"
-        )
+        # official nuScenes detection metric, devkit-free (mAP over
+        # center-distance thresholds + ATE/ASE/AOE/AVE + NDS) — see
+        # nuscenes_eval.py
+        from .nuscenes_eval import evaluate_nuscenes
+
+        by_frame = {a["frame_id"]: a for a in det_annos}
+        gts, dets = [], []
+        for info in self.infos:
+            fid = Path(info["lidar_path"]).stem
+            gts.append({
+                "gt_boxes": info.get("gt_boxes", np.zeros((0, 9))),
+                "gt_names": info.get("gt_names", np.array([])),
+            })
+            d = by_frame.get(fid)
+            if d is None:
+                dets.append({
+                    "boxes_lidar": np.zeros((0, 9)),
+                    "score": np.zeros((0,)),
+                    "name": np.array([]),
+                })
+            else:
+                dets.append(d)
+        return evaluate_nuscenes(gts, dets, class_names)
 
     def _simple_eval(self, det_annos, class_names):
         matched, total_gt, total_det = 0, 0, 0
