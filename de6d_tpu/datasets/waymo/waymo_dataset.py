@@ -121,31 +121,55 @@ class WaymoDataset(DatasetTemplate):
         try:
             from waymo_open_dataset import dataset_pb2  # noqa: F401
         except ImportError:
-            if self.logger:
-                self.logger.warning(
-                    "waymo-open-dataset not installed; official WOD "
-                    "metrics unavailable — returning matched-recall summary"
-                )
-            matched, total = 0, 0
+            # WOD stack absent: run the devkit-free mAP/mAPH metric
+            # (waymo_eval_np.py) instead of a bare recall summary
+            from .waymo_eval_np import evaluate_waymo
+
             by_frame = {a["frame_id"]: a for a in det_annos}
+            gts, dets = [], []
             for info in self.infos:
-                det = by_frame.get(info.get("frame_id"))
-                gt = info.get("annos", {}).get(
-                    "gt_boxes_lidar", np.zeros((0, 7))
-                )
-                total += len(gt)
-                if det is None or not len(det["boxes_lidar"]) or not len(gt):
-                    continue
-                d = np.linalg.norm(
-                    gt[:, None, :2] - det["boxes_lidar"][None, :, :2],
-                    axis=-1,
-                )
-                matched += int((d.min(axis=1) < 2.0).sum())
-            recall = matched / max(total, 1)
-            return f"center-dist(2m) recall: {recall:.4f}", {
-                "recall/center_2m": recall
+                annos = info.get("annos", {})
+                gts.append({
+                    "gt_boxes": annos.get(
+                        "gt_boxes_lidar", np.zeros((0, 7))
+                    ),
+                    "name": annos.get("name", np.array([])),
+                    "num_points_in_gt": annos.get("num_points_in_gt"),
+                    "difficulty": annos.get("difficulty"),
+                })
+                d = by_frame.get(info.get("frame_id"))
+                dets.append(d if d is not None else {
+                    "boxes_lidar": np.zeros((0, 7)),
+                    "score": np.zeros((0,)),
+                    "name": np.array([]),
+                })
+            gts = [
+                {k: v for k, v in g.items() if v is not None}
+                for g in gts
+            ]
+            return evaluate_waymo(gts, dets, class_names)
+        # devkit present: the official TF metric estimator could run
+        # here; until that image exists the numpy metric above is the
+        # single path (deliberately identical inputs)
+        from .waymo_eval_np import evaluate_waymo as _ev
+
+        by_frame = {a["frame_id"]: a for a in det_annos}
+        gts, dets = [], []
+        for info in self.infos:
+            annos = info.get("annos", {})
+            g = {
+                "gt_boxes": annos.get("gt_boxes_lidar", np.zeros((0, 7))),
+                "name": annos.get("name", np.array([])),
             }
-        raise NotImplementedError(
-            "official WOD eval requires the waymo TF stack; hook up in "
-            "deployment image"
-        )
+            if annos.get("num_points_in_gt") is not None:
+                g["num_points_in_gt"] = annos["num_points_in_gt"]
+            if annos.get("difficulty") is not None:
+                g["difficulty"] = annos["difficulty"]
+            gts.append(g)
+            d = by_frame.get(info.get("frame_id"))
+            dets.append(d if d is not None else {
+                "boxes_lidar": np.zeros((0, 7)),
+                "score": np.zeros((0,)),
+                "name": np.array([]),
+            })
+        return _ev(gts, dets, class_names)
