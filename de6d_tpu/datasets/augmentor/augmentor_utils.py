@@ -108,14 +108,11 @@ def random_translation_along_axis(gt_boxes, points, offset_std, axis, rng):
 def random_local_rotation(gt_boxes, points, rot_range, rng):
     """Per-object rotation about each box center (reference
     random_local_rotation)."""
-    from ...ops import geometry
-    import numpy as _np
+    from ...utils import box_np_utils
 
     gt_boxes = gt_boxes.copy()
     points = points.copy()
-    mask = np.asarray(
-        geometry.points_in_boxes_index(points[:, :3], gt_boxes)
-    )
+    mask = box_np_utils.points_in_boxes_index(points[:, :3], gt_boxes)
     for i in range(gt_boxes.shape[0]):
         angle = rng.uniform(rot_range[0], rot_range[1])
         sel = mask == i
@@ -132,13 +129,11 @@ def random_local_rotation(gt_boxes, points, rot_range, rng):
 
 
 def random_local_scaling(gt_boxes, points, scale_range, rng):
-    from ...ops import geometry
+    from ...utils import box_np_utils
 
     gt_boxes = gt_boxes.copy()
     points = points.copy()
-    mask = np.asarray(
-        geometry.points_in_boxes_index(points[:, :3], gt_boxes)
-    )
+    mask = box_np_utils.points_in_boxes_index(points[:, :3], gt_boxes)
     for i in range(gt_boxes.shape[0]):
         scale = rng.uniform(scale_range[0], scale_range[1])
         sel = mask == i
@@ -239,13 +234,11 @@ def _apply_slope(gt_boxes, points, rotate_point, rotate_angle):
 def random_local_translation(gt_boxes, points, offset_range, axis, rng):
     """Per-object translation along one axis (reference
     random_local_translation_along_x/y/z)."""
-    from ...ops import geometry
+    from ...utils import box_np_utils
 
     gt_boxes = gt_boxes.copy()
     points = points.copy()
-    idx = np.asarray(
-        geometry.points_in_boxes_index(points[:, :3], gt_boxes)
-    )
+    idx = box_np_utils.points_in_boxes_index(points[:, :3], gt_boxes)
     for i in range(gt_boxes.shape[0]):
         offset = rng.uniform(offset_range[0], offset_range[1])
         sel = idx == i

@@ -23,7 +23,7 @@ from pathlib import Path
 import numpy as np
 
 from ..eval.rotate_iou_np import boxes_bev_iou_cpu
-from ...ops import geometry
+from ...utils import box_np_utils
 
 
 class DataBaseSampler:
@@ -236,10 +236,8 @@ class DataBaseSampler:
         )
 
         # carve out scene points inside the pasted boxes
-        inside = np.asarray(
-            geometry.points_in_boxes_mask(
-                points[:, :3], sampled_gt_boxes[:, :7]
-            )
+        inside = box_np_utils.points_in_boxes_mask(
+            points[:, :3], sampled_gt_boxes[:, :7]
         )
         points = points[~inside.any(axis=0)]
         obj_points = np.concatenate(obj_points_list, axis=0)

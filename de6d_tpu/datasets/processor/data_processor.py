@@ -58,13 +58,11 @@ class DataProcessor:
             and self.training
             and data_dict["gt_boxes"].shape[0]
         ):
-            from ...ops import geometry
+            from ...utils import box_np_utils
 
-            keep = np.asarray(
-                geometry.mask_boxes_outside_range(
-                    data_dict["gt_boxes"][:, :7], pc,
-                    min_num_corners=config.get("min_num_corners", 1),
-                )
+            keep = box_np_utils.mask_boxes_outside_range(
+                data_dict["gt_boxes"][:, :7], pc,
+                min_num_corners=config.get("min_num_corners", 1),
             )
             data_dict["gt_boxes"] = data_dict["gt_boxes"][keep]
             if "gt_names" in data_dict:

@@ -51,6 +51,9 @@ def train_model(
     device_keys = ("points", "points_mask", "gt_boxes", "point_voxel_idx")
     it = int(state.step)
     profiling = False
+    prev_loss = None  # 1-deep pipeline: device runs step k while the
+    # host preps batch k+1; we only block on step k-1's metrics, so
+    # host data time and device step time overlap instead of adding.
     with mesh:
         for epoch in range(start_epoch, total_epochs):
             train_loader.set_epoch(epoch)
@@ -64,7 +67,9 @@ def train_model(
                     {k: batch[k] for k in device_keys if k in batch}, mesh
                 )
                 state, metrics = train_step(state, dev_batch)
-                metrics["loss"].block_until_ready()
+                if prev_loss is not None:
+                    prev_loss.block_until_ready()
+                prev_loss = metrics["loss"]
                 t_step = time.perf_counter() - t_end - t_data
                 data_time.update(t_data)
                 step_time.update(t_step)
