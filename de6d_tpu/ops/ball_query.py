@@ -89,16 +89,27 @@ def ball_query(
             in_ball = (
                 (d2 < r2_out) & (d2 >= r2_in) & valid_i[None, :] & cv[:, None]
             )
-            # smallest-k on point order → first hits
-            order_key = jnp.where(
-                in_ball,
-                jnp.arange(n, dtype=jnp.int32)[None, :],
-                jnp.int32(n),
-            )
-            neg_topk, _ = jax.lax.top_k(-order_key, nsample)
-            first_idx = -neg_topk  # ascending point order, n = miss
+            # First-k hits WITHOUT a sort: the inclusive hit-rank
+            # cumsum is nondecreasing per row, so the k-th hit position
+            # is searchsorted(rank, k) — K·log2(N) batched gathers
+            # instead of a full (chunk, N) top_k sort (which measured
+            # ~40x slower at SA1 scale: 16384 source points, k=64).
+            rank = jnp.cumsum(in_ball.astype(jnp.int32), axis=-1)
+            ks = jnp.arange(1, nsample + 1, dtype=jnp.int32)
+            # unrolled vectorized binary search: searchsorted-left of k
+            # in each row's rank (jnp.searchsorted vmaps poorly here)
+            rows = rank.shape[0]
+            lo = jnp.zeros((rows, nsample), jnp.int32)
+            hi = jnp.full((rows, nsample), n, jnp.int32)
+            for _ in range(max(1, (n - 1).bit_length())):
+                mid = (lo + hi) >> 1
+                rv = jnp.take_along_axis(rank, mid, axis=-1)
+                go_right = rv < ks[None, :]
+                lo = jnp.where(go_right, mid + 1, lo)
+                hi = jnp.where(go_right, hi, mid)
+            first_idx = hi  # (chunk, nsample), n = miss
             found = first_idx < n
-            cnt = jnp.sum(found, axis=-1).astype(jnp.int32)
+            cnt = jnp.minimum(rank[:, -1], nsample).astype(jnp.int32)
             fill = jnp.where(cnt > 0, first_idx[:, 0], 0)
             idx = jnp.where(found, first_idx, fill[:, None])
             return idx.astype(jnp.int32), cnt
@@ -170,8 +181,19 @@ def three_nn(unknown, known, valid_mask=None, center_chunk: int = 1024):
         def per_chunk(c):
             d2 = _pairwise_sqdist(c, kn)
             d2 = jnp.where(valid_i[None, :], d2, INF)
-            neg, idx = jax.lax.top_k(-d2, 3)
-            return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx.astype(jnp.int32)
+            # 3 masked argmin passes instead of a full-row top_k sort
+            # (k=3 << N; argmin takes the first occurrence on ties,
+            # matching stable top_k order)
+            dists, idxs = [], []
+            cols = jnp.arange(d2.shape[-1])
+            for _ in range(3):
+                i = jnp.argmin(d2, axis=-1)
+                dists.append(jnp.take_along_axis(d2, i[:, None], -1)[:, 0])
+                idxs.append(i.astype(jnp.int32))
+                d2 = jnp.where(cols[None, :] == i[:, None], INF, d2)
+            dist = jnp.stack(dists, axis=-1)
+            idx = jnp.stack(idxs, axis=-1)
+            return jnp.sqrt(jnp.maximum(dist, 0.0)), idx
 
         dist, idx = jax.lax.map(per_chunk, q)
         return dist.reshape(-1, 3)[:m], idx.reshape(-1, 3)[:m]
