@@ -17,6 +17,47 @@ from pathlib import Path
 
 import numpy as np
 
+def sample_car_points(box7, n, rng):
+    """Sample a lidar-like point cloud ON an oriented synthetic car.
+
+    The car is a body cuboid plus a rear-shifted cabin cuboid, so the
+    geometry is asymmetric front/back and the full heading (not just
+    yaw mod pi) is recoverable from the points. Points are sampled on
+    the surfaces (sides + top), rotated by the label yaw and translated
+    to the label center — the labels are consistent with the geometry
+    by construction (round 2's axis-aligned blobs made yaw unlearnable
+    and sank Det6D's trained AOS to 0).
+    """
+    cx, cy, cz, l, w, h, yaw = [float(v) for v in box7[:7]]
+    local = np.zeros((n, 3), np.float32)
+    # split: 55% body sides, 20% body top/hood, 25% cabin
+    n_side = int(n * 0.55)
+    n_top = int(n * 0.20)
+    n_cab = n - n_side - n_top
+    u = rng.uniform(-0.5, 0.5, n_side)
+    face = rng.randint(0, 4, n_side)
+    zs = rng.uniform(-0.5, 0.1, n_side)  # sides: lower 60% of height
+    local[:n_side, 0] = np.where(face < 2, u * l, np.where(face == 2, 0.5, -0.5) * l)
+    local[:n_side, 1] = np.where(face < 2, np.where(face == 0, 0.5, -0.5) * w, u * w)
+    local[:n_side, 2] = zs * h
+    # hood / trunk top surface at ~35% height
+    local[n_side:n_side + n_top, 0] = rng.uniform(-0.5, 0.5, n_top) * l
+    local[n_side:n_side + n_top, 1] = rng.uniform(-0.45, 0.45, n_top) * w
+    local[n_side:n_side + n_top, 2] = (0.1 + rng.uniform(0, 0.08, n_top)) * h
+    # cabin: rear-shifted box, upper half (breaks front/back symmetry)
+    cab_l, cab_off = 0.45 * l, -0.12 * l
+    local[n_side + n_top:, 0] = cab_off + rng.uniform(-0.5, 0.5, n_cab) * cab_l
+    local[n_side + n_top:, 1] = rng.uniform(-0.42, 0.42, n_cab) * w
+    local[n_side + n_top:, 2] = rng.uniform(0.12, 0.5, n_cab) * h
+    local += rng.normal(0, 0.02, local.shape)  # sensor noise
+    c, s = np.cos(yaw), np.sin(yaw)
+    out = np.empty_like(local)
+    out[:, 0] = c * local[:, 0] - s * local[:, 1] + cx
+    out[:, 1] = s * local[:, 0] + c * local[:, 1] + cy
+    out[:, 2] = local[:, 2] + cz
+    return out
+
+
 CALIB_TXT = """P0: 700 0 600 0 0 700 180 0 0 0 1 0
 P1: 700 0 600 0 0 700 180 0 0 0 1 0
 P2: 700 0 600 44.85 0 700 180 0.21 0 0 1 0.003
@@ -56,9 +97,14 @@ def build_tree(root: Path, frames: int, train_frac: float, seed: int,
     ids = [f"{i:06d}" for i in range(frames)]
     for fid in ids:
         pts = np.zeros((n_points, 4), np.float32)
-        pts[:, 0] = rng.uniform(0, 60, n_points)
-        pts[:, 1] = rng.uniform(-25, 25, n_points)
-        pts[:, 2] = rng.uniform(-1.8, 1.0, n_points)
+        # background: 70% ground plane at z ~ -1.7, 30% clutter
+        n_gnd = int(n_points * 0.7)
+        pts[:n_gnd, 0] = rng.uniform(0, 60, n_gnd)
+        pts[:n_gnd, 1] = rng.uniform(-25, 25, n_gnd)
+        pts[:n_gnd, 2] = -1.7 + rng.normal(0, 0.04, n_gnd)
+        pts[n_gnd:, 0] = rng.uniform(0, 60, n_points - n_gnd)
+        pts[n_gnd:, 1] = rng.uniform(-25, 25, n_points - n_gnd)
+        pts[n_gnd:, 2] = rng.uniform(-1.7, 1.0, n_points - n_gnd)
         pts[:, 3] = rng.uniform(0, 1, n_points)
 
         lines = []
@@ -68,15 +114,14 @@ def build_tree(root: Path, frames: int, train_frac: float, seed: int,
                 [
                     rng.uniform(8, 40), rng.uniform(-8, 8),
                     rng.uniform(-1.2, -0.6),
-                    4.0, 1.6, 1.5, rng.uniform(-np.pi, np.pi),
+                    rng.uniform(3.6, 4.6), rng.uniform(1.55, 1.75),
+                    rng.uniform(1.4, 1.7), rng.uniform(-np.pi, np.pi),
                 ],
                 np.float32,
             )
             sl = slice(g * per, (g + 1) * per)
             m = sl.stop - sl.start
-            pts[sl, 0] = box[0] + rng.uniform(-1.5, 1.5, m)
-            pts[sl, 1] = box[1] + rng.uniform(-0.7, 0.7, m)
-            pts[sl, 2] = box[2] + rng.uniform(-0.6, 0.6, m)
+            pts[sl, :3] = sample_car_points(box, m, rng)
             cam = box_np_ops.boxes3d_lidar_to_kitti_camera(
                 box[None], calib
             )[0]
