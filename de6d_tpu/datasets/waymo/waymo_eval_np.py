@@ -14,6 +14,12 @@ precision over a recall grid after "max-precision to the right"
 smoothing with score cutoffs derived per class; here the standard
 101-point interpolated AP is used — equal in the limit and within
 noise of the official breakdown.
+
+Breakdown semantics (matches WOD): matching runs once against ALL
+gts; for the LEVEL_1 breakdown, detections whose best match is a
+LEVEL_2-only gt are IGNORED (dropped from the ranking) rather than
+counted as false positives, mirroring the official don't-care
+handling of out-of-breakdown ground truths.
 """
 
 from __future__ import annotations
@@ -30,14 +36,16 @@ IOU_THRESHOLDS = {
 
 
 def _match_class(gt_list, det_list, iou_thresh):
-    """Global score-sorted greedy matching by 3D IoU.
-    Returns rows (score, tp, heading_sim) + npos."""
+    """Global score-sorted greedy matching by 3D IoU against ALL gts.
+    Returns rows (score, tp, heading_sim, matched_gt_is_l2) + npos
+    counts for both levels."""
     import jax.numpy as jnp
 
     rows = []
-    npos = 0
+    npos_all = npos_l1 = 0
     for g, d in zip(gt_list, det_list):
-        npos += len(g["boxes"])
+        npos_all += len(g["boxes"])
+        npos_l1 += int((~g["is_l2"]).sum())
         if not len(d["boxes"]):
             continue
         order = np.argsort(-d["scores"])
@@ -49,7 +57,7 @@ def _match_class(gt_list, det_list, iou_thresh):
         taken = np.zeros(len(g["boxes"]), bool)
         for i in order:
             if not len(g["boxes"]):
-                rows.append((d["scores"][i], 0, 0.0))
+                rows.append((d["scores"][i], 0, 0.0, False))
                 continue
             row = np.where(taken, -1.0, iou[i])
             j = int(np.argmax(row))
@@ -59,17 +67,20 @@ def _match_class(gt_list, det_list, iou_thresh):
                     float(d["boxes"][i, 6]) - float(g["boxes"][j, 6])
                 ) % (2 * np.pi)
                 diff = min(diff, 2 * np.pi - diff)
-                rows.append((d["scores"][i], 1, 1.0 - diff / np.pi))
+                rows.append(
+                    (d["scores"][i], 1, 1.0 - diff / np.pi,
+                     bool(g["is_l2"][j]))
+                )
             else:
-                rows.append((d["scores"][i], 0, 0.0))
-    return rows, npos
+                rows.append((d["scores"][i], 0, 0.0, False))
+    return rows, npos_all, npos_l1
 
 
 def _ap_from_rows(rows, npos, heading=False):
     if npos == 0 or not rows:
         return 0.0
-    rows.sort(key=lambda r: -r[0])
-    arr = np.asarray(rows, np.float64)
+    rows = sorted(rows, key=lambda r: -r[0])
+    arr = np.asarray([r[:3] for r in rows], np.float64)
     tp = arr[:, 2] if heading else arr[:, 1]
     hit = arr[:, 1]
     tp_cum = np.cumsum(tp)
@@ -92,34 +103,34 @@ def evaluate_waymo(gt_annos, det_annos, class_names):
     metric, lines = {}, []
     for cls in class_names:
         th = IOU_THRESHOLDS.get(cls, 0.5)
-        for level in ("LEVEL_1", "LEVEL_2"):
-            gt_list, det_list = [], []
-            for g, d in zip(gt_annos, det_annos):
-                names = np.asarray(g["name"])
-                m = names == cls
-                boxes = np.asarray(g["gt_boxes"], np.float64)[m]
-                npts = np.asarray(
-                    g.get("num_points_in_gt", np.full(len(names), 99))
-                )[m]
-                diff = np.asarray(
-                    g.get("difficulty", np.zeros(len(names)))
-                )[m]
-                is_l2 = (npts <= 5) | (diff == 2)
-                keep = (
-                    np.ones(len(boxes), bool)
-                    if level == "LEVEL_2" else ~is_l2
-                )
-                gt_list.append({"boxes": boxes[keep]})
-                dm = np.asarray(d["name"]) == cls
-                det_list.append({
-                    "boxes": np.asarray(
-                        d["boxes_lidar"], np.float64
-                    )[dm],
-                    "scores": np.asarray(d["score"], np.float64)[dm],
-                })
-            rows, npos = _match_class(gt_list, det_list, th)
-            ap = _ap_from_rows(list(rows), npos)
-            aph = _ap_from_rows(list(rows), npos, heading=True)
+        gt_list, det_list = [], []
+        for g, d in zip(gt_annos, det_annos):
+            names = np.asarray(g["name"])
+            m = names == cls
+            boxes = np.asarray(g["gt_boxes"], np.float64)[m]
+            npts = np.asarray(
+                g.get("num_points_in_gt", np.full(len(names), 99))
+            )[m]
+            diff = np.asarray(
+                g.get("difficulty", np.zeros(len(names)))
+            )[m]
+            gt_list.append(
+                {"boxes": boxes, "is_l2": (npts <= 5) | (diff == 2)}
+            )
+            dm = np.asarray(d["name"]) == cls
+            det_list.append({
+                "boxes": np.asarray(d["boxes_lidar"], np.float64)[dm],
+                "scores": np.asarray(d["score"], np.float64)[dm],
+            })
+        rows, npos_all, npos_l1 = _match_class(gt_list, det_list, th)
+        # LEVEL_1: detections matched to L2-only gts are don't-care
+        rows_l1 = [r for r in rows if not (r[1] and r[3])]
+        for level, lrows, npos in (
+            ("LEVEL_1", rows_l1, npos_l1),
+            ("LEVEL_2", rows, npos_all),
+        ):
+            ap = _ap_from_rows(lrows, npos)
+            aph = _ap_from_rows(lrows, npos, heading=True)
             metric[f"{cls}/{level}/AP"] = ap
             metric[f"{cls}/{level}/APH"] = aph
             lines.append(

@@ -60,10 +60,26 @@ def test_heading_error_reduces_aph_not_ap(rng):
 def test_level2_includes_sparse_gts(rng):
     gts, dets = _frames(rng, sparse_half=True)
     _, m = evaluate_waymo(gts, dets, ["Vehicle"])
-    # L1 has half the gts; dets on sparse gts count as FP for L1 → AP
-    # drops; L2 counts everything and stays near 1
+    # Perfect detections: L2 counts everything; for L1 the detections
+    # matched to sparse (L2-only) gts are don't-care, NOT false
+    # positives — both levels stay near 1 (official WOD breakdown
+    # semantics).
     assert m["Vehicle/LEVEL_2/AP"] > 0.99
-    assert m["Vehicle/LEVEL_1/AP"] < m["Vehicle/LEVEL_2/AP"]
+    assert m["Vehicle/LEVEL_1/AP"] > 0.99
+
+
+def test_unmatched_dets_still_fp_for_level1(rng):
+    # detections that match nothing must still count as FPs in L1
+    gts, dets = _frames(rng, sparse_half=True)
+    for d in dets:
+        extra = d["boxes_lidar"][:1].copy()
+        extra[:, 0] += 15.0  # far from any gt
+        d["boxes_lidar"] = np.concatenate([d["boxes_lidar"], extra])
+        d["score"] = np.concatenate([d["score"], [0.99]])
+        d["name"] = np.concatenate([d["name"], ["Vehicle"]])
+    _, m = evaluate_waymo(gts, dets, ["Vehicle"])
+    assert m["Vehicle/LEVEL_1/AP"] < 0.99
+    assert m["Vehicle/LEVEL_2/AP"] < 0.99
 
 
 def test_large_shift_zero_ap(rng):
