@@ -20,15 +20,30 @@ def get_dist_info():
 
 
 def all_gather(data):
-    """Gather arbitrary pytrees (incl. python objects) from every
-    process (reference commu_utils.all_gather — pickle-tensor based;
-    here multihost_utils handles serialization)."""
+    """Gather arbitrary python objects from every process (reference
+    commu_utils.all_gather:50 — the same pickle-to-tensor trick, but
+    over the jax runtime instead of NCCL). process_allgather needs
+    identical leaf shapes on every process, which ragged per-host
+    results (det_annos) don't satisfy — so serialize, pad to the
+    global max length, gather once, and unpickle per process."""
     if jax.process_count() == 1:
         return [data]
+    import pickle
+
     from jax.experimental import multihost_utils
 
-    gathered = multihost_utils.process_allgather(data)
-    return list(gathered)
+    buf = np.frombuffer(
+        pickle.dumps(data, protocol=pickle.HIGHEST_PROTOCOL), np.uint8
+    )
+    n = np.asarray(len(buf), np.int64)
+    sizes = np.asarray(multihost_utils.process_allgather(n))
+    padded = np.zeros(int(sizes.max()), np.uint8)
+    padded[: len(buf)] = buf
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return [
+        pickle.loads(gathered[i, : int(sizes[i])].tobytes())
+        for i in range(jax.process_count())
+    ]
 
 
 def average_reduce_value(value: float) -> float:
