@@ -19,6 +19,19 @@ from . import augmentor_utils
 from .database_sampler import DataBaseSampler
 
 
+def _pyramid_groups(config, names):
+    """Yield (config_key, box_mask) per pyramid-aug application. An
+    'all' config is ONE application over every box (one Bernoulli draw
+    per box, like the reference); per-class configs get their class
+    masks."""
+    if "all" in config:
+        yield "all", np.ones(len(names), bool)
+        return
+    for cls in config.keys():
+        if cls != "NAME":
+            yield cls, names == cls
+
+
 class DataAugmentor:
     def __init__(self, root_path, augmentor_configs, class_names, logger=None):
         self.root_path = root_path
@@ -165,15 +178,13 @@ class DataAugmentor:
 
     def random_local_pyramid_dropout(self, config=None):
         def _apply(data_dict, rng, config=config):
-            prob = float(config["all"]["PROB"]) if "all" in config else None
             names = data_dict["gt_names"]
-            cls_list = (
-                np.unique(names) if "all" in config
-                else [k for k in config.keys() if k != "NAME"]
-            )
-            for cls in cls_list:
-                p = prob if prob is not None else float(config[cls]["PROB"])
-                m = names == cls
+            # 'all' applies ONE draw over the full box set (reference
+            # local_pyramid_dropout operates on all gt_boxes at once,
+            # augmentor_utils.py:496-520) — per-class re-application
+            # would double-augment multi-class scenes
+            for cls, m in _pyramid_groups(config, names):
+                p = float(config[cls]["PROB"])
                 _, data_dict["points"] = augmentor_utils.local_pyramid_dropout(
                     data_dict["gt_boxes"][m], data_dict["points"], p, rng
                 )
@@ -184,16 +195,9 @@ class DataAugmentor:
     def random_local_pyramid_sparsify(self, config=None):
         def _apply(data_dict, rng, config=config):
             names = data_dict["gt_names"]
-            for_all = "all" in config
-            cls_list = (
-                np.unique(names) if for_all
-                else [k for k in config.keys() if k != "NAME"]
-            )
-            for cls in cls_list:
-                key = "all" if for_all else cls
-                p = float(config[key]["PROB"])
-                max_num = int(config[key]["MAX_NUM"])
-                m = names == cls
+            for cls, m in _pyramid_groups(config, names):
+                p = float(config[cls]["PROB"])
+                max_num = int(config[cls]["MAX_NUM"])
                 _, data_dict["points"] = (
                     augmentor_utils.local_pyramid_sparsify(
                         data_dict["gt_boxes"][m], data_dict["points"],
@@ -207,16 +211,9 @@ class DataAugmentor:
     def random_local_pyramid_swap(self, config=None):
         def _apply(data_dict, rng, config=config):
             names = data_dict["gt_names"]
-            for_all = "all" in config
-            cls_list = (
-                np.unique(names) if for_all
-                else [k for k in config.keys() if k != "NAME"]
-            )
-            for cls in cls_list:
-                key = "all" if for_all else cls
-                p = float(config[key]["PROB"])
-                max_num = int(config[key]["MAX_NUM"])
-                m = names == cls
+            for cls, m in _pyramid_groups(config, names):
+                p = float(config[cls]["PROB"])
+                max_num = int(config[cls]["MAX_NUM"])
                 _, data_dict["points"] = augmentor_utils.local_pyramid_swap(
                     data_dict["gt_boxes"][m], data_dict["points"],
                     p, max_num, rng,

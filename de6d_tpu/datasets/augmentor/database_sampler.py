@@ -26,6 +26,14 @@ from ..eval.rotate_iou_np import boxes_bev_iou_cpu
 from ...utils import box_np_utils
 
 
+def _unlink_quietly(shm):
+    try:
+        shm.close()
+        shm.unlink()
+    except Exception:
+        pass
+
+
 class DataBaseSampler:
     def __init__(self, root_path, sampler_cfg, class_names, logger=None):
         self.root_path = Path(root_path)
@@ -86,12 +94,24 @@ class DataBaseSampler:
             created = False
         except FileNotFoundError:
             data = np.load(db_data_path)
-            shm = shared_memory.SharedMemory(
-                name=key, create=True, size=max(data.nbytes, 1)
-            )
-            buf = np.ndarray(data.shape, data.dtype, buffer=shm.buf)
-            buf[:] = data
-            created = True
+            try:
+                shm = shared_memory.SharedMemory(
+                    name=key, create=True, size=max(data.nbytes, 1)
+                )
+                created = True
+            except FileExistsError:
+                # two processes raced past the attach; loser attaches
+                # to the winner's segment
+                shm = shared_memory.SharedMemory(name=key)
+                created = False
+            if created:
+                buf = np.ndarray(data.shape, data.dtype, buffer=shm.buf)
+                buf[:] = data
+                import atexit
+
+                # the creating process owns cleanup: unlink at exit so
+                # /dev/shm doesn't leak across runs
+                atexit.register(lambda s=shm: _unlink_quietly(s))
         if created:
             self._shape_dtype = (data.shape, data.dtype)
         else:
