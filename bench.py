@@ -3,16 +3,18 @@ path — device voxelize → PillarVFE → scatter → BEV backbone → anchor
 head → rotated NMS, full KITTI-scale shapes (16384 pts/scan, 432x496
 BEV grid), bf16 compute / fp32 params+geometry.
 
-Two candidate loads are measured:
-  - realistic: a score gate leaving ~768 NMS candidates/sample (trained
-    detectors leave a few hundred above SCORE_THRESH=0.1; with random
-    init weights the gate is set at the matching score quantile). This
-    is the headline number.
-  - worst-case: no score gate, all 4096 pre-NMS slots live.
+Measurement protocol (see STATUS.md): the axon tunnel memoizes
+repeated identical dispatches and reorders async work, so every
+timing loop CHAINS iterations through a data dependency (the next
+input is perturbed by a function of the previous output) and ends
+with a host fetch. Un-chained loops report fantasy numbers.
 
-Each load is timed over several repetitions and the median is reported
-(the TPU is reached through a shared tunnel with occasional contention;
-medians de-noise it).
+Weights: if bench_assets/ holds a trained checkpoint
+(pointpillar_params.npz + scans.npz, written by
+de6d_tpu/tools/bake_bench_assets.py), the realistic load comes from
+REAL trained scores on real scans at the config SCORE_THRESH — the
+headline number is then un-gameable. Fallback without assets: random
+init with a score gate at the ~768-candidates/sample quantile.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "scans/sec", "vs_baseline": N}
@@ -28,25 +30,51 @@ import json
 import statistics
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
 
 BASELINE_SCANS_PER_SEC_PER_CHIP = 250.0  # 2000 / 8 chips (BASELINE.json)
+ASSETS = Path(__file__).parent / "bench_assets"
 
 
-def _time_scans_per_sec(infer, params, stats, batch, batch_size,
-                        iters=10, reps=5):
+def _time_scans_per_sec(infer, chain, params, stats, batch, batch_size,
+                        iters=10, reps=7):
+    """Chained timing: iteration i+1's input depends on iteration i's
+    output, so the tunnel can neither memoize nor overlap across the
+    chain; each rep ends with a blocking host fetch."""
     import jax
 
     per_rep = []
+    cur = batch
+    # warmup the chain step itself
+    out = infer(params, stats, cur)
+    cur = chain(cur, out[1])
+    jax.block_until_ready(cur["points"])
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = infer(params, stats, batch)
-        jax.block_until_ready(out)
+            out = infer(params, stats, cur)
+            cur = chain(cur, out[1])
+        np.asarray(out[2])  # host fetch closes the rep
         per_rep.append(batch_size * iters / (time.perf_counter() - t0))
     return statistics.median(per_rep), per_rep
+
+
+def _load_assets():
+    p = ASSETS / "pointpillar_params.npz"
+    s = ASSETS / "scans.npz"
+    if not (p.exists() and s.exists()):
+        return None
+    from flax.traverse_util import unflatten_dict
+
+    raw = np.load(p, allow_pickle=False)
+    tree = unflatten_dict(
+        {tuple(k.split("/")): raw[k].astype(np.float32) for k in raw.files}
+    )
+    scans = np.load(s)
+    return tree["params"], tree["batch_stats"], scans["points"]
 
 
 def main():
@@ -75,20 +103,33 @@ def main():
 
     batch_size = 8
     n_points = 16384
+    assets = _load_assets()
     rng = np.random.RandomState(0)
     pc = spec.point_cloud_range
-    pts = np.zeros((batch_size, n_points, 4), np.float32)
-    pts[..., 0] = rng.uniform(pc[0], pc[3], (batch_size, n_points))
-    pts[..., 1] = rng.uniform(pc[1], pc[4], (batch_size, n_points))
-    pts[..., 2] = rng.uniform(pc[2], pc[5], (batch_size, n_points))
-    pts[..., 3] = rng.uniform(0, 1, (batch_size, n_points))
+    if assets is not None:
+        params, stats, scan_pts = assets
+        reps = int(np.ceil(batch_size / scan_pts.shape[0]))
+        pts = np.tile(scan_pts, (reps, 1, 1))[:batch_size]
+        print(f"# trained checkpoint + {scan_pts.shape[0]} real scans",
+              file=sys.stderr)
+    else:
+        pts = np.zeros((batch_size, n_points, 4), np.float32)
+        pts[..., 0] = rng.uniform(pc[0], pc[3], (batch_size, n_points))
+        pts[..., 1] = rng.uniform(pc[1], pc[4], (batch_size, n_points))
+        pts[..., 2] = rng.uniform(pc[2], pc[5], (batch_size, n_points))
+        pts[..., 3] = rng.uniform(0, 1, (batch_size, n_points))
+        print("# no bench_assets — random init + quantile gate",
+              file=sys.stderr)
     batch = {
-        "points": jnp.asarray(pts),
+        "points": jnp.asarray(pts[:, :n_points]),
         "points_mask": jnp.ones((batch_size, n_points), bool),
     }
 
-    variables = model.init(jax.random.PRNGKey(0), dict(batch), train=False)
-    params, stats = variables["params"], variables["batch_stats"]
+    if assets is None:
+        variables = jax.jit(
+            lambda r, b: model.init(r, b, train=False)
+        )(jax.random.PRNGKey(0), dict(batch))
+        params, stats = variables["params"], variables["batch_stats"]
 
     def make_infer(post_cfg):
         @jax.jit
@@ -100,21 +141,30 @@ def main():
 
         return infer
 
-    # calibrate the realistic score gate from the raw score distribution
     @jax.jit
-    def fwd(params, batch_stats, batch):
-        v = {"params": params, "batch_stats": batch_stats}
-        out = model.apply(v, dict(batch), train=False)
-        return out["batch_cls_preds"]
+    def chain(batch, scores):
+        # data dependency with numerically negligible magnitude
+        eps = (scores[0, 0] * 1e-9).astype(batch["points"].dtype)
+        return {**batch, "points": batch["points"] + eps}
 
-    t_c0 = time.perf_counter()
-    cls_preds = fwd(params, stats, batch)
-    scores = np.asarray(jax.nn.sigmoid(cls_preds).max(axis=-1))
-    gate = float(np.quantile(scores, 1.0 - 768.0 / scores.shape[1]))
-    print(f"# fwd compile+gate calib: {time.perf_counter()-t_c0:.1f}s "
-          f"(gate={gate:.4f})", file=sys.stderr)
+    if assets is not None:
+        gate = float(model_cfg["POST_PROCESSING"]["SCORE_THRESH"])
+    else:
+        @jax.jit
+        def fwd(params, batch_stats, batch):
+            v = {"params": params, "batch_stats": batch_stats}
+            out = model.apply(v, dict(batch), train=False)
+            return out["batch_cls_preds"]
+
+        t_c0 = time.perf_counter()
+        cls_preds = fwd(params, stats, batch)
+        scores = np.asarray(jax.nn.sigmoid(cls_preds).max(axis=-1))
+        gate = float(np.quantile(scores, 1.0 - 768.0 / scores.shape[1]))
+        print(f"# fwd compile+gate calib: {time.perf_counter()-t_c0:.1f}s "
+              f"(gate={gate:.4f})", file=sys.stderr)
 
     results = {}
+    all_reps = {}
     for label, thresh in (("realistic", gate), ("worst_case", 0.0)):
         pp = dict(model_cfg["POST_PROCESSING"])
         pp["SCORE_THRESH"] = thresh
@@ -122,36 +172,63 @@ def main():
         t_c0 = time.perf_counter()
         out = infer(params, stats, batch)
         jax.block_until_ready(out)
-        print(f"# {label} compile+warmup: {time.perf_counter()-t_c0:.1f}s",
+        print(f"# {label} compile+warmup: {time.perf_counter()-t_c0:.1f}s, "
+              f"mean pred_count {float(np.mean(np.asarray(out[2]))):.0f}",
               file=sys.stderr)
         med, reps = _time_scans_per_sec(
-            infer, params, stats, batch, batch_size
+            infer, chain, params, stats, batch, batch_size
         )
         results[label] = med
+        all_reps[label] = reps
         print(f"# {label}: median {med:.1f} scans/s, reps "
               f"{[f'{r:.1f}' for r in reps]}", file=sys.stderr)
 
+    # batch sweep on the realistic load (chained, shorter)
+    sweep = {}
+    pp = dict(model_cfg["POST_PROCESSING"])
+    pp["SCORE_THRESH"] = gate
+    for bs in (1, 4):
+        sub = {
+            "points": batch["points"][:bs],
+            "points_mask": batch["points_mask"][:bs],
+        }
+        infer = make_infer(pp)
+        out = infer(params, stats, sub)
+        jax.block_until_ready(out)
+        med, _ = _time_scans_per_sec(
+            infer, chain, params, stats, sub, bs, iters=10, reps=5
+        )
+        sweep[f"batch_{bs}"] = round(med, 2)
+        print(f"# sweep batch={bs}: {med:.1f} scans/s", file=sys.stderr)
+    sweep[f"batch_{batch_size}"] = round(results["realistic"], 2)
+
     scans_per_sec = results["realistic"]
+    # p99-ish tail over reps (chained batches: latency = batch/throughput)
+    worst_rep = min(all_reps["realistic"])
     print(
         json.dumps(
             {
                 "metric": (
-                    "KITTI scans/sec/chip (PointPillars bf16, synthetic "
-                    "16k-pt scans, voxelize+NMS incl., ~768 NMS "
-                    "candidates/sample)"
+                    "KITTI scans/sec/chip (PointPillars bf16, 16k-pt "
+                    "scans, voxelize+NMS incl., "
+                    + ("trained ckpt + real scans"
+                       if assets is not None else "random init, ~768 "
+                       "NMS candidates/sample")
+                    + ")"
                 ),
                 "value": round(scans_per_sec, 2),
                 "unit": "scans/sec",
                 "vs_baseline": round(
                     scans_per_sec / BASELINE_SCANS_PER_SEC_PER_CHIP, 3
                 ),
-                "p50_latency_ms_per_scan": round(
-                    1e3 / scans_per_sec, 3
-                ),
+                "p50_latency_ms_per_scan": round(1e3 / scans_per_sec, 3),
+                "p99_latency_ms_per_scan": round(1e3 / worst_rep, 3),
                 "worst_case_scans_per_sec": round(
                     results["worst_case"], 2
                 ),
+                "batch_sweep": sweep,
                 "batch_size": batch_size,
+                "trained_ckpt": assets is not None,
             }
         )
     )
