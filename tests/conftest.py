@@ -31,3 +31,31 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+# ---------------------------------------------------------------------------
+# tier markers: `-m "not slow"` is the fast CI tier (<10 min); the
+# detector-compile-heavy modules are auto-marked slow here so each file
+# doesn't need its own boilerplate.
+# ---------------------------------------------------------------------------
+
+_SLOW_MODULES = {
+    "test_model_zoo", "test_det6d_e2e", "test_caddn", "test_iassd",
+    "test_pointpillar_e2e", "test_pointrcnn_e2e", "test_pvrcnn_e2e",
+    "test_pointmlp", "test_spmd_train", "test_overfit_learns",
+    "test_eval_vs_reference", "test_occam", "test_point_head_box6d",
+    "test_vectorpool", "test_anchor_head_multi", "test_train_infra",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: compile-heavy / long tests (excluded from the "
+        "fast tier via -m 'not slow')"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
