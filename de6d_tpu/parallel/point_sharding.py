@@ -62,7 +62,6 @@ def sharded_ball_query(mesh, xyz, new_xyz, radius, nsample,
         shard_map, mesh=mesh,
         in_specs=(P(), P(None, POINT_AXIS), P(), P(None, POINT_AXIS)),
         out_specs=(P(None, POINT_AXIS), P(None, POINT_AXIS)),
-        check_rep=False,
     )
     def run(xyz_f, q, vm, qv):
         return ball_query(
@@ -93,7 +92,6 @@ def sharded_query_and_group(mesh, xyz, new_xyz, features, radius, nsample,
         shard_map, mesh=mesh,
         in_specs=(P(), P(None, POINT_AXIS), P(), P(), P(None, POINT_AXIS)),
         out_specs=(P(None, POINT_AXIS), P(None, POINT_AXIS)),
-        check_rep=False,
     )
     def run(xyz_f, q, feats, vm, qv):
         return query_and_group(
@@ -118,7 +116,6 @@ def sharded_three_nn(mesh, unknown, known, valid_mask=None):
         shard_map, mesh=mesh,
         in_specs=(P(None, POINT_AXIS), P(), P()),
         out_specs=(P(None, POINT_AXIS), P(None, POINT_AXIS)),
-        check_rep=False,
     )
     def run(u, k, vm):
         return three_nn(u, k, vm)
