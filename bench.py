@@ -143,8 +143,10 @@ def main():
 
     @jax.jit
     def chain(batch, scores):
-        # data dependency with numerically negligible magnitude
-        eps = (scores[0, 0] * 1e-9).astype(batch["points"].dtype)
+        # data dependency; the +1e-4 m keeps buffers bit-distinct (a
+        # pure *1e-9 eps rounds away in fp32 at KITTI coordinate
+        # magnitudes and the tunnel memoizes identical dispatches)
+        eps = (scores[0, 0] * 1e-9 + 1e-4).astype(batch["points"].dtype)
         return {**batch, "points": batch["points"] + eps}
 
     if assets is not None:

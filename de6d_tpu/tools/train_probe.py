@@ -1,0 +1,214 @@
+"""Train-step perf split on the real chip (single process!).
+
+Times, with CHAINED iterations (each step's input depends on the
+previous output — the tunnel memoizes identical dispatches and
+reorders async work, so unchained loops lie):
+  - forward (train=True) alone
+  - forward+backward (value_and_grad)
+  - full train step (fwd+bwd+optimizer, donated state)
+  - the axis-aligned anchor assignment alone
+for a config at full scale, fp32 vs bf16 compute.
+
+Usage:
+  python -m de6d_tpu.tools.train_probe \
+      [--cfg_file configs/kitti_models/pointpillar.yaml] [--batch 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import time
+
+import numpy as np
+
+
+def chain_time(step, state0, batch0, perturb, iters=8, reps=3):
+    """step(state, batch) -> result with a scalar-ish output;
+    perturb(batch, result) -> new batch (data dependency)."""
+    import jax
+    import jax.numpy as jnp
+
+    def saltbatch():
+        # per-rep random salt: memoization must not survive across
+        # reps or processes
+        salt = np.float32(np.random.rand() * 1e-4)
+        return {
+            k: v + salt if v.dtype == jnp.float32 else v
+            for k, v in batch0.items()
+        }
+
+    # untimed warmup: compile + one real execution, fenced by a fetch.
+    # NB state must be carried across reps — the train step donates its
+    # input state, so restarting from state0 would read a freed buffer.
+    s = state0
+    out, s = step(s, saltbatch())
+    np.asarray(out)
+
+    times = []
+    for rep in range(reps):
+        b = saltbatch()
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out, s = step(s, b)
+            b = perturb(b, out)
+        np.asarray(out)  # HOST FETCH — block_until_ready does not
+        # actually block through the tunnel
+        times.append((time.perf_counter() - t0) / iters)
+    print(f"    reps: {[f'{t * 1e3:.1f}' for t in times]} ms")
+    return min(times)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg_file",
+                    default="configs/kitti_models/pointpillar.yaml")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--dtype", default=None,
+                    help="COMPUTE_DTYPE override (e.g. bfloat16)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    print(f"backend={jax.default_backend()} devices={jax.devices()}")
+
+    from ..config import cfg, cfg_from_yaml_file
+    from ..models import build_network
+    from ..models.detectors.detector3d_template import DatasetSpec
+    from ..train import build_optimizer_and_schedule, create_train_state
+    from ..train.train_state import make_train_step
+
+    cfg_from_yaml_file(args.cfg_file, cfg)
+    model_cfg = copy.deepcopy(dict(cfg.MODEL))
+    if args.dtype:
+        model_cfg["COMPUTE_DTYPE"] = args.dtype
+    pc = tuple(cfg.DATA_CONFIG.POINT_CLOUD_RANGE)
+    spec = DatasetSpec(
+        class_names=tuple(cfg.CLASS_NAMES), point_feature_dim=4,
+        point_cloud_range=pc, voxel_size=(0.16, 0.16, 4.0),
+        max_voxels=16000, max_points_per_voxel=32,
+    )
+    model = build_network(
+        model_cfg, num_class=len(cfg.CLASS_NAMES), dataset=spec
+    )
+    b, n = args.batch, 16384
+    rng = np.random.RandomState(0)
+    pts = np.zeros((b, n, 4), np.float32)
+    pts[..., 0] = rng.uniform(pc[0], pc[3], (b, n))
+    pts[..., 1] = rng.uniform(pc[1], pc[4], (b, n))
+    pts[..., 2] = rng.uniform(pc[2], pc[5], (b, n))
+    pts[..., 3] = rng.uniform(0, 1, (b, n))
+    gt = np.zeros((b, 12, 8), np.float32)
+    gt[..., 0] = rng.uniform(pc[0] + 5, pc[3] - 5, (b, 12))
+    gt[..., 1] = rng.uniform(pc[1] + 5, pc[4] - 5, (b, 12))
+    gt[..., 2] = -1.0
+    gt[..., 3:6] = [4.0, 1.6, 1.5]
+    gt[..., 6] = rng.uniform(-np.pi, np.pi, (b, 12))
+    gt[..., 7] = 1
+    batch = {
+        "points": jnp.asarray(pts),
+        "points_mask": jnp.ones((b, n), bool),
+        "gt_boxes": jnp.asarray(gt),
+    }
+    variables = jax.jit(
+        lambda r, bt: model.init(r, bt, train=False)
+    )(jax.random.PRNGKey(0), dict(batch))
+    optimizer, _ = build_optimizer_and_schedule(
+        cfg.OPTIMIZATION, variables["params"], steps_per_epoch=100
+    )
+    state = create_train_state(model, optimizer, batch)
+
+    def perturb(bt, out):
+        # 1e-4 m moves nothing physically but keeps every buffer
+        # bit-distinct: a pure *1e-9 eps rounds away in fp32 at
+        # KITTI coordinate magnitudes and the tunnel memoizes the
+        # then-identical dispatches
+        eps = (
+            jnp.asarray(out, jnp.float32).reshape(-1)[0] * 1e-9 + 1e-4
+        ).astype(jnp.float32)
+        return {**bt, "points": bt["points"] + eps}
+
+    # ---- forward, eval mode (no target assignment, no losses) -------------
+    @jax.jit
+    def fwd_eval(params, stats, bt):
+        out = model.apply(
+            {"params": params, "batch_stats": stats}, dict(bt),
+            train=False,
+        )
+        # reduce whatever prediction tensors exist to one scalar
+        leaves = [
+            jnp.sum(v) for v in jax.tree.leaves(out)
+            if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)
+        ]
+        return sum(leaves)
+
+    # ---- forward only -----------------------------------------------------
+    @jax.jit
+    def fwd(params, stats, bt):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": stats}, dict(bt),
+            train=True, mutable=["batch_stats"],
+        )
+        loss, _ = model.get_training_loss(out)
+        return loss
+
+    p0, s0 = state.params, state.batch_stats
+    t = chain_time(
+        lambda s, bt: (fwd_eval(p0, s0, bt), s), None, batch, perturb
+    )
+    print(f"fwd(eval, no tgt):    {t * 1e3:8.1f} ms/step")
+    t = chain_time(
+        lambda s, bt: (fwd(p0, s0, bt), s), None, batch, perturb
+    )
+    print(f"fwd(train)+loss:      {t * 1e3:8.1f} ms/step")
+
+    # ---- forward+backward -------------------------------------------------
+    @jax.jit
+    def fwdbwd(params, stats, bt):
+        def loss_fn(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": stats}, dict(bt),
+                train=True, mutable=["batch_stats"],
+            )
+            loss, _ = model.get_training_loss(out)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # fold the grads into the output — returning loss alone lets
+        # XLA dead-code-eliminate the entire backward pass
+        gnorm = sum(
+            jnp.sum(jnp.square(g)) for g in jax.tree.leaves(grads)
+        )
+        return loss + 1e-20 * gnorm  # not 0.0* — XLA could fold that
+
+    t = chain_time(
+        lambda s, bt: (fwdbwd(p0, s0, bt), s), None, batch, perturb
+    )
+    print(f"fwd+bwd:              {t * 1e3:8.1f} ms/step")
+
+    # ---- full train step --------------------------------------------------
+    train_step = make_train_step(model, optimizer)
+
+    def full(s, bt):
+        s2, metrics = train_step(s, bt)
+        return metrics["loss"] if "loss" in metrics else metrics["grad_norm"], s2
+
+    t = chain_time(full, state, batch, perturb, iters=8, reps=3)
+    print(f"full train step:      {t * 1e3:8.1f} ms/step")
+
+    # ---- assigner alone (anchor heads only) -------------------------------
+    try:
+        from ..models.dense_heads.axis_aligned_assigner import assign_targets
+        from ..models.dense_heads.anchor_generator import (  # noqa: F401
+            AnchorGenerator,
+        )
+        head = getattr(model, "dense_head", None)
+    except Exception:
+        head = None
+    print("done")
+
+
+if __name__ == "__main__":
+    main()
