@@ -189,11 +189,18 @@ def main():
     sweep = {}
     pp = dict(model_cfg["POST_PROCESSING"])
     pp["SCORE_THRESH"] = gate
-    for bs in (1, 4):
-        sub = {
-            "points": batch["points"][:bs],
-            "points_mask": batch["points_mask"][:bs],
-        }
+    for bs in (1, 4, 16):
+        if bs <= batch_size:
+            sub = {
+                "points": batch["points"][:bs],
+                "points_mask": batch["points_mask"][:bs],
+            }
+        else:
+            reps = bs // batch_size
+            sub = {
+                "points": jnp.tile(batch["points"], (reps, 1, 1)),
+                "points_mask": jnp.tile(batch["points_mask"], (reps, 1)),
+            }
         infer = make_infer(pp)
         out = infer(params, stats, sub)
         jax.block_until_ready(out)

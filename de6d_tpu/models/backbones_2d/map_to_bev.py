@@ -28,31 +28,53 @@ class PointPillarScatter(nn.Module):
 
     @nn.compact
     def __call__(self, batch_dict, train: bool = False):
+        import os
+
         pillars = batch_dict["pillar_features"]  # (B, V, C)
         coords = batch_dict["voxel_coords"]  # (B, V, 3) zyx
         nx, ny = int(self.grid_size[0]), int(self.grid_size[1])
         c = pillars.shape[-1]
+        g = ny * nx
+        valid = coords[..., 0] >= 0
+        # voxelize emits slots in ascending linear-key order with the
+        # invalid (-1) slots at the tail — the Pallas kernel's contract
+        lin = jnp.where(
+            valid, coords[..., 1] * nx + coords[..., 2], g
+        ).astype(jnp.int32)
 
-        def scatter_one(feat, coord):
-            # two-step canvas build: scatter only the int32 slot ids
-            # into the grid (64x less scatter traffic than scattering
-            # feature rows — TPU scatters serialize), then GATHER the
-            # feature row per cell. Measured ~2x faster than the row
-            # scatter and ~12x faster than a searchsorted lookup.
-            g = ny * nx
-            v = feat.shape[0]
-            valid = coord[:, 0] >= 0
-            lin = jnp.where(valid, coord[:, 1] * nx + coord[:, 2], g)
-            ids = jnp.full((g + 1,), v, jnp.int32)
-            ids = ids.at[lin].set(jnp.arange(v, dtype=jnp.int32))
-            fpad = jnp.concatenate(
-                [feat, jnp.zeros((1, c), feat.dtype)], axis=0
+        use_pallas = os.environ.get("DE6D_PALLAS_CANVAS")
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        else:
+            use_pallas = use_pallas == "1"
+        if use_pallas:
+            # VMEM-resident tiled build: one-hot MXU row-select over
+            # contiguous table blocks instead of a serialized ~214k-row
+            # XLA gather (ops/pallas/canvas.py).
+            from ...ops.pallas.canvas import scatter_canvas
+
+            interpret = os.environ.get("DE6D_PALLAS_INTERPRET") == "1"
+            batch_dict["spatial_features"] = scatter_canvas(
+                pillars, lin, ny, nx, 256, interpret
             )
-            return fpad[ids[:g]].reshape(ny, nx, c)
+        else:
 
-        batch_dict["spatial_features"] = jax.vmap(scatter_one)(
-            pillars, coords
-        )
+            def scatter_one(feat, lin1):
+                # two-step canvas build: scatter only the int32 slot
+                # ids into the grid (64x less scatter traffic than
+                # scattering feature rows — TPU scatters serialize),
+                # then GATHER the feature row per cell.
+                v = feat.shape[0]
+                ids = jnp.full((g + 1,), v, jnp.int32)
+                ids = ids.at[lin1].set(jnp.arange(v, dtype=jnp.int32))
+                fpad = jnp.concatenate(
+                    [feat, jnp.zeros((1, c), feat.dtype)], axis=0
+                )
+                return fpad[ids[:g]].reshape(ny, nx, c)
+
+            batch_dict["spatial_features"] = jax.vmap(scatter_one)(
+                pillars, lin
+            )
         batch_dict["spatial_features_stride"] = 1
         return batch_dict
 

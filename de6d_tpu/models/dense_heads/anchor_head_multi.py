@@ -246,3 +246,4 @@ class AnchorHeadMulti(nn.Module):
         return batch_dict
 
     generate_predicted_boxes = AnchorHeadSingle.generate_predicted_boxes
+    _dir_cfg = AnchorHeadSingle._dir_cfg

@@ -254,35 +254,103 @@ def post_processing(batch_dict, post_cfg, num_class: int):
         cls_preds = jax.nn.sigmoid(cls_preds)
     nms_cfg = post_cfg["NMS_CONFIG"]
     score_thresh = float(post_cfg.get("SCORE_THRESH", 0.1))
+    iou_kind = (
+        "aligned"
+        if "normal" in str(nms_cfg.get("NMS_TYPE", "nms_gpu"))
+        else "rotated"
+    )
 
-    def single(cls_p, box_p):
-        scores = jnp.max(cls_p, axis=-1)
-        labels = jnp.argmax(cls_p, axis=-1) + 1
-        valid = scores >= score_thresh
-        idx, count = nms_ops.nms(
-            box_p,
-            scores,
-            thresh=float(nms_cfg["NMS_THRESH"]),
-            pre_maxsize=int(nms_cfg["NMS_PRE_MAXSIZE"]),
-            post_maxsize=int(nms_cfg["NMS_POST_MAXSIZE"]),
-            valid_mask=valid,
-            iou_kind="aligned"
-            if "normal" in str(nms_cfg.get("NMS_TYPE", "nms_gpu"))
-            else "rotated",
+    # batched candidate selection OUTSIDE the per-sample map: one
+    # (B, A) lax.top_k instead of B sequential 321k-element top_k's
+    # inside lax.map (~0.9 ms/sample on v5e)
+    scores = jnp.max(cls_preds, axis=-1)  # (B, A)
+    labels = jnp.argmax(cls_preds, axis=-1) + 1  # (B, A)
+    masked = jnp.where(scores >= score_thresh, scores, nms_ops.NEG_INF)
+    pre = min(int(nms_cfg["NMS_PRE_MAXSIZE"]), scores.shape[1])
+    if masked.shape[0] == 1:
+        # XLA's TPU windowed-sort lowering CHECK-fails on a (1, A)
+        # batched top_k (fusion_util TransformWindow, observed on
+        # f32[1,321408]); the 1-D form compiles fine
+        ts1, o1 = jax.lax.top_k(masked[0], pre)
+        top_scores, order = ts1[None], o1[None]
+    else:
+        top_scores, order = jax.lax.top_k(masked, pre)  # (B, P)
+    lazy = batch_dict.get("lazy_box_decode")
+    if lazy is not None:
+        # decode only the gathered candidates: same elementwise math as
+        # the head's full decode, on P instead of A rows (~78x less at
+        # KITTI PointPillars scale); the unused batch_box_preds is
+        # DCE'd. Gather at CELL granularity — full (A_loc*C)-wide conv
+        # rows, then a one-hot select of the candidate's anchor slot —
+        # which measured ~4.5x faster on v5e than row-gathering the
+        # narrow (B, A, 7) view (7-wide minor dims run at 7/128 lane
+        # occupancy on TPU).
+        from ..dense_heads.anchor_head import decode_boxes_with_dir
+
+        a_loc = int(lazy["a_loc"])
+        cell = order // a_loc  # (B, P)
+        sub = order % a_loc
+        onehot = (
+            sub[..., None] == jnp.arange(a_loc, dtype=sub.dtype)
+        )  # (B, P, A_loc)
+
+        def cell_select(arr_cell, width):
+            rows = jnp.take_along_axis(
+                arr_cell, cell[..., None], axis=1
+            )  # (B, P, A_loc*width)
+            r = rows.reshape(rows.shape[0], rows.shape[1], a_loc, width)
+            return jnp.einsum(
+                "bpa,bpac->bpc", onehot.astype(r.dtype), r
+            )
+
+        code = int(lazy["code_size"])
+        raw_rows = cell_select(lazy["raw_cell"], code)
+        dir_rows = None
+        if lazy["dir_cell"] is not None:
+            nb = lazy["dir_cell"].shape[-1] // a_loc
+            dir_rows = cell_select(lazy["dir_cell"], nb)
+        anch_rows = jnp.take(lazy["anchors_cell"], cell, axis=0)
+        anch_rows = jnp.einsum(
+            "bpa,bpac->bpc",
+            onehot.astype(anch_rows.dtype),
+            anch_rows.reshape(
+                anch_rows.shape[0], anch_rows.shape[1], a_loc, -1
+            ),
         )
-        post = idx.shape[0]
+        cand_boxes = decode_boxes_with_dir(
+            lazy["coder"], lazy["dir_cfg"], raw_rows, dir_rows, anch_rows
+        )
+    else:
+        cand_boxes = jnp.take_along_axis(
+            box_preds, order[..., None], axis=1
+        )  # (B, P, 7+)
+    cand_labels = jnp.take_along_axis(labels, order, axis=1)
+
+    def single(cand_b, top_s, lab_b):
+        sel, count = nms_ops.nms_candidates(
+            cand_b,
+            top_s,
+            thresh=float(nms_cfg["NMS_THRESH"]),
+            post_maxsize=int(nms_cfg["NMS_POST_MAXSIZE"]),
+            iou_kind=iou_kind,
+        )
+        post = sel.shape[0]
         in_count = jnp.arange(post) < count
         return {
-            "pred_boxes": jnp.where(in_count[:, None], box_p[idx], 0.0),
-            "pred_scores": jnp.where(in_count, scores[idx], 0.0),
-            "pred_labels": jnp.where(in_count, labels[idx], 0).astype(jnp.int32),
+            "pred_boxes": jnp.where(in_count[:, None], cand_b[sel], 0.0),
+            "pred_scores": jnp.where(in_count, top_s[sel], 0.0),
+            "pred_labels": jnp.where(
+                in_count, lab_b[sel], 0
+            ).astype(jnp.int32),
             "pred_count": count,
         }
 
     # sequential over batch: vmapping the NMS triples compile time and
     # doubles step latency on v5e (measured); the per-sample NMS is
     # already wide enough to fill the VPU
-    return jax.lax.map(lambda args: single(*args), (cls_preds, box_preds))
+    return jax.lax.map(
+        lambda args: single(*args), (cand_boxes, top_scores, cand_labels)
+    )
 
 
 def generate_recall_record(batch_dict, pred_boxes, pred_counts,

@@ -2,11 +2,16 @@
 
 Times the flagship inference stages in isolation so optimization
 effort follows measured leverage, not guesses:
-  - voxelize (device, batch x 16k pts)
-  - model forward without post-processing
   - NMS alone at several valid-candidate counts (worst case 4096 down
     to trained-model-like a few hundred)
+  - voxelize (device, batch x 16k pts)
+  - model forward without post-processing
   - full pipeline worst-case and with a realistic score gate
+
+Measurement protocol (STATUS.md): the axon tunnel memoizes repeated
+identical dispatches and reorders async work; block_until_ready does
+not actually block through the tunnel. Every loop CHAINS iterations
+through a data dependency and ends with a host fetch.
 
 Usage:  python -m de6d_tpu.tools.perf_probe
 """
@@ -18,17 +23,29 @@ import time
 import numpy as np
 
 
-def bench(fn, *args, iters=20, warmup=2):
+def chained_bench(fn, perturb, *args, iters=10, reps=3):
+    """fn(*args) -> out; perturb(args, out) -> new args tuple.
+    Warmup (compile + 1 exec, fenced), then `reps` chained loops each
+    ended by a host fetch; returns the min rep time per iteration."""
+
     import jax
 
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    def fetch(out):
+        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+
+    cur = args
+    out = fn(*cur)
+    cur = perturb(cur, out)
+    fetch(out)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*cur)
+            cur = perturb(cur, out)
+        fetch(out)
+        times.append((time.perf_counter() - t0) / iters)
+    return min(times)
 
 
 def main():
@@ -57,21 +74,28 @@ def main():
     boxes_j = jnp.asarray(boxes)
     scores_j = jnp.asarray(scores)
 
+    @jax.jit
+    def nms_perturb(s, count):
+        return s + (count.astype(jnp.float32) * 1e-12 + 1e-7)
+
     for count in (4096, 1024, 512, 128):
         valid = jnp.arange(n) < count
 
-        def run(b, s, v):
-            return nms_ops.nms(
+        run_j = jax.jit(
+            lambda b, s, v: nms_ops.nms(
                 b, s, thresh=0.01, pre_maxsize=4096, post_maxsize=500,
                 valid_mask=v,
             )
-
-        run_j = jax.jit(run)
-        dt = bench(run_j, boxes_j, scores_j, valid)
+        )
+        dt = chained_bench(
+            run_j,
+            lambda args, out: (args[0], nms_perturb(args[1], out[1]), args[2]),
+            boxes_j, scores_j, valid,
+        )
         print(f"nms count={count}: {dt*1e3:.3f} ms")
 
     # --- voxelize alone -------------------------------------------------
-    batch, npts = 4, 16384
+    batch, npts = 8, 16384
     pts = np.zeros((batch, npts, 4), np.float32)
     pts[..., 0] = rng.uniform(pc_range[0], pc_range[3], (batch, npts))
     pts[..., 1] = rng.uniform(pc_range[1], pc_range[4], (batch, npts))
@@ -79,21 +103,34 @@ def main():
     pts_j = jnp.asarray(pts)
     mask_j = jnp.ones((batch, npts), bool)
 
-    def vox_one(p, m):
-        return vox.voxelize(
-            p, m, pc_range, [0.16, 0.16, 4.0],
-            max_voxels=16000, max_points_per_voxel=32,
+    vox_b = jax.jit(
+        jax.vmap(
+            lambda p, m: vox.voxelize(
+                p, m, pc_range, [0.16, 0.16, 4.0],
+                max_voxels=16000, max_points_per_voxel=32,
+            )
         )
+    )
 
-    vox_b = jax.jit(jax.vmap(vox_one))
-    dt = bench(vox_b, pts_j, mask_j)
+    @jax.jit
+    def pts_perturb(p, leaf):
+        eps = (
+            jnp.asarray(leaf, jnp.float32).ravel()[0] * 1e-9 + 1e-4
+        ).astype(p.dtype)
+        return p + eps
+
+    dt = chained_bench(
+        vox_b,
+        lambda args, out: (
+            pts_perturb(args[0], jax.tree_util.tree_leaves(out)[0]),
+            args[1],
+        ),
+        pts_j, mask_j,
+    )
     print(f"voxelize batch={batch}: {dt*1e3:.3f} ms total, "
           f"{dt*1e3/batch:.3f} ms/scan")
 
     # --- full model forward (no post-processing) ------------------------
-    import sys
-
-    sys.path.insert(0, "tests")
     from de6d_tpu.config import cfg_from_yaml_file
     from de6d_tpu.models import build_network
     from de6d_tpu.models.detectors.detector3d_template import (
@@ -101,10 +138,10 @@ def main():
     )
 
     import copy
+    import os
 
     cfg = cfg_from_yaml_file("configs/kitti_models/pointpillar.yaml")
     model_cfg = copy.deepcopy(dict(cfg.MODEL))
-    import os
     if os.environ.get("PROBE_BF16", "1") == "1":
         model_cfg["COMPUTE_DTYPE"] = "bfloat16"
         print("model compute dtype: bfloat16")
@@ -119,7 +156,9 @@ def main():
     num_class = len(cfg.CLASS_NAMES)
     model = build_network(model_cfg, num_class=num_class, dataset=spec)
     batch_d = {"points": pts_j, "points_mask": mask_j}
-    variables = model.init(jax.random.PRNGKey(0), dict(batch_d), train=False)
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, train=False)
+    )(jax.random.PRNGKey(0), dict(batch_d))
     params, stats = variables["params"], variables["batch_stats"]
 
     @jax.jit
@@ -128,7 +167,12 @@ def main():
         out = model.apply(v, dict(b), train=False)
         return out["batch_cls_preds"], out["batch_box_preds"]
 
-    dt = bench(fwd_only, params, stats, batch_d)
+    def batch_perturb(args, out):
+        p, s, b = args
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return p, s, {**b, "points": pts_perturb(b["points"], leaf)}
+
+    dt = chained_bench(fwd_only, batch_perturb, params, stats, batch_d)
     print(f"forward (voxelize+vfe+backbone+head) batch={batch}: "
           f"{dt*1e3:.3f} ms total, {dt*1e3/batch:.3f} ms/scan")
 
@@ -153,7 +197,7 @@ def main():
             post = post_processing(out, pp, num_class)
             return post["pred_boxes"], post["pred_count"]
 
-        dt = bench(full, params, stats, batch_d)
+        dt = chained_bench(full, batch_perturb, params, stats, batch_d)
         _, cnt = full(params, stats, batch_d)
         print(f"full pipeline [{label}] batch={batch}: {dt*1e3:.3f} ms "
               f"total, {dt*1e3/batch:.3f} ms/scan, "

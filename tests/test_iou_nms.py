@@ -193,3 +193,24 @@ def test_nms_count_bounded_resolve(rng):
     )
     got = np.asarray(idx)[: int(count)]
     np.testing.assert_array_equal(sorted(got), sorted(expect))
+
+
+def test_select_candidates_matches_topk(rng):
+    """Candidate selection must equal lax.top_k exactly (the r3
+    compaction fast path was removed after measuring it 3.5 ms/scan
+    slower end-to-end — see ops/nms.py:_select_candidates)."""
+    import jax
+    import jax.numpy as jnp
+
+    n, pre = 4096, 256
+    scores = np.full(n, nms.NEG_INF, np.float32)
+    live_idx = rng.choice(n, 100, replace=False)
+    scores[live_idx] = rng.uniform(0.1, 1.0, 100).astype(np.float32)
+    scores[live_idx[:10]] = 0.5  # score ties
+
+    s_fast, o_fast = jax.jit(
+        lambda s: nms._select_candidates(s, pre)
+    )(jnp.asarray(scores))
+    s_ref, o_ref = jax.lax.top_k(jnp.asarray(scores), pre)
+    np.testing.assert_array_equal(np.asarray(s_fast), np.asarray(s_ref))
+    np.testing.assert_array_equal(np.asarray(o_fast), np.asarray(o_ref))
