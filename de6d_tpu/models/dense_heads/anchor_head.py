@@ -23,7 +23,9 @@ from ...registry import DENSE_HEADS
 from ...utils import box_coder_utils, loss_utils
 from ...ops import geometry
 from . import anchor_generator
-from .axis_aligned_assigner import assign_targets
+from .axis_aligned_assigner import (
+    assign_targets, assign_targets_windowed, choose_window_cells,
+)
 from ..model_utils import dtype_utils
 
 
@@ -103,10 +105,16 @@ class AnchorHeadSingle(nn.Module):
             self.point_cloud_range,
         )
         ny, nx = anchors.shape[0], anchors.shape[1]
+        self._anchors_grid_np = anchors  # (ny, nx, A_loc, 7)
         self._anchors_np = anchors.reshape(-1, anchors.shape[-1])
         self._groups_np = np.tile(groups, ny * nx)
         self._matched_np = np.tile(matched, ny * nx)
         self._unmatched_np = np.tile(unmatched, ny * nx)
+        self._groups_loc_np = groups
+        self._matched_loc_np = matched
+        self._unmatched_loc_np = unmatched
+        w = int(tgt_cfg.get("WINDOW_CELLS", choose_window_cells(anchors)))
+        self._assign_window = w if (w <= nx and w <= ny) else 0
 
         a_loc = self.num_anchors_per_location
         dt = dtype_utils.compute_dtype(self.model_cfg)
@@ -158,6 +166,19 @@ class AnchorHeadSingle(nn.Module):
                     topk=int(tgt_cfg.get("TOPK", 9)),
                     box_coder=self.box_coder,
                     match_height=bool(tgt_cfg.get("MATCH_HEIGHT", False)),
+                )
+            elif self._assign_window and tgt_cfg.get("WINDOWED_ASSIGN", True):
+                # exact fast path: windowed IoU around each gt instead
+                # of the dense (A, M) matrix (bit-equal, tested)
+                tdict = assign_targets_windowed(
+                    jnp.asarray(self._anchors_grid_np),
+                    jnp.asarray(self._groups_loc_np),
+                    jnp.asarray(self._matched_loc_np),
+                    jnp.asarray(self._unmatched_loc_np),
+                    gt,
+                    box_coder=self.box_coder,
+                    match_height=bool(tgt_cfg.get("MATCH_HEIGHT", False)),
+                    window=self._assign_window,
                 )
             else:
                 tdict = assign_targets(
