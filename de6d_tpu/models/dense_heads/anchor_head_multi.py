@@ -30,7 +30,9 @@ from ...utils import box_coder_utils
 from . import anchor_generator
 from .anchor_head import AnchorHeadSingle
 from .atss_assigner import assign_targets_atss
-from .axis_aligned_assigner import assign_targets
+from .axis_aligned_assigner import (
+    assign_targets, assign_targets_windowed, choose_window_cells,
+)
 from ..model_utils import dtype_utils
 
 
@@ -182,6 +184,31 @@ class AnchorHeadMulti(nn.Module):
         self._groups_np = np.concatenate(groups_list)
         self._matched_np = np.concatenate(matched_list)
         self._unmatched_np = np.concatenate(unmatched_list)
+        # per-head grid-shaped data for the windowed fast path (classes
+        # partition across heads, so dense assignment — incl. the per-gt
+        # force-match maxima, which only range over same-class anchors —
+        # is separable per head)
+        head_grids = []
+        for head_cfg in self.model_cfg["RPN_HEAD_CFGS"]:
+            names = list(head_cfg["HEAD_CLS_NAME"])
+            sub_cfg = [by_class[n] for n in names]
+            (
+                anchors, groups, matched, unmatched, _,
+            ) = anchor_generator.generate_anchors(
+                sub_cfg, self.grid_size, self.point_cloud_range
+            )
+            local_to_global = np.array(
+                [self.class_names.index(n) for n in names], np.int32
+            )
+            w = int(tgt_cfg.get(
+                "WINDOW_CELLS", choose_window_cells(anchors)
+            ))
+            if not (w <= anchors.shape[1] and w <= anchors.shape[0]):
+                w = 0
+            head_grids.append(
+                (anchors, local_to_global[groups], matched, unmatched, w)
+            )
+        self._head_grids = head_grids
 
         if self.model_cfg.get("SHARED_CONV_NUM_FILTER") is not None:
             self.shared_conv = _ConvBNReLU(
@@ -224,6 +251,29 @@ class AnchorHeadMulti(nn.Module):
                     box_coder=self.box_coder,
                     match_height=bool(tgt_cfg.get("MATCH_HEIGHT", False)),
                 )
+            elif (
+                tgt_cfg.get("WINDOWED_ASSIGN", True)
+                and all(g[4] for g in self._head_grids)
+            ):
+                parts = [
+                    assign_targets_windowed(
+                        jnp.asarray(a_grid),
+                        jnp.asarray(g_loc),
+                        jnp.asarray(m_loc),
+                        jnp.asarray(u_loc),
+                        gt,
+                        box_coder=self.box_coder,
+                        match_height=bool(
+                            tgt_cfg.get("MATCH_HEIGHT", False)
+                        ),
+                        window=w,
+                    )
+                    for a_grid, g_loc, m_loc, u_loc, w in self._head_grids
+                ]
+                tdict = {
+                    k: jnp.concatenate([p[k] for p in parts], axis=1)
+                    for k in parts[0]
+                }
             else:
                 tdict = assign_targets(
                     anchors,

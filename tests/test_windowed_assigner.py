@@ -145,6 +145,53 @@ def test_windowed_equals_dense_adversarial():
     assert int(jnp.sum(dense["box_cls_labels"] > 0)) > 0
 
 
+def test_multihead_partition_equals_dense_concat():
+    """Per-head windowed assignment concatenated == dense assignment
+    over the concatenated anchor set (classes partition across heads,
+    so per-gt force-match maxima never cross heads)."""
+    coder = box_coder_utils.build_box_coder("ResidualCoder")
+    head_anchor_sets = []
+    for sub in ([ANCHOR_CFG[0]], [ANCHOR_CFG[1]]):
+        a, g, mt, ut, _ = generate_anchors(sub, GRID, PC_RANGE)
+        # remap local group 0 → global class index
+        gglob = np.array(
+            [0 if sub[0]["class_name"] == "Car" else 1], np.int32
+        )[g]
+        head_anchor_sets.append((a, gglob, mt, ut))
+
+    rng = np.random.RandomState(7)
+    gt = np.stack([_random_scene(rng, 10, 7), _random_scene(rng, 10, 3)])
+
+    flat = np.concatenate(
+        [a.reshape(-1, a.shape[-1]) for a, *_ in head_anchor_sets]
+    )
+    tiled = [
+        np.concatenate(
+            [np.tile(v, a.shape[0] * a.shape[1])
+             for (a, g, mt, ut) in head_anchor_sets
+             for v in ([g] if i == 0 else [mt] if i == 1 else [ut])]
+        )
+        for i in range(3)
+    ]
+    dense = assign_targets(
+        jnp.asarray(flat), jnp.asarray(tiled[0]), jnp.asarray(tiled[1]),
+        jnp.asarray(tiled[2]), jnp.asarray(gt), box_coder=coder,
+    )
+    parts = [
+        assign_targets_windowed(
+            jnp.asarray(a), jnp.asarray(g), jnp.asarray(mt),
+            jnp.asarray(ut), jnp.asarray(gt), box_coder=coder,
+            window=choose_window_cells(a),
+        )
+        for a, g, mt, ut in head_anchor_sets
+    ]
+    windowed = {
+        k: jnp.concatenate([p[k] for p in parts], axis=1) for k in parts[0]
+    }
+    _assert_equal(dense, windowed)
+    assert int(jnp.sum(dense["box_cls_labels"] > 0)) > 0
+
+
 def test_single_class_only_scene():
     """All gts one class — the other class's anchors must see the
     analytic base (-1 → label 0 everywhere below unmatched_thr)."""
