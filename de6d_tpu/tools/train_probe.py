@@ -198,15 +198,70 @@ def main():
     t = chain_time(full, state, batch, perturb, iters=8, reps=3)
     print(f"full train step:      {t * 1e3:8.1f} ms/step")
 
-    # ---- assigner alone (anchor heads only) -------------------------------
-    try:
-        from ..models.dense_heads.axis_aligned_assigner import assign_targets
-        from ..models.dense_heads.anchor_generator import (  # noqa: F401
-            AnchorGenerator,
+    # ---- assigner alone: dense vs windowed (anchor heads only) ------------
+    head_cfg = model_cfg.get("DENSE_HEAD", {})
+    if "ANCHOR_GENERATOR_CONFIG" in head_cfg and "RPN_HEAD_CFGS" not in head_cfg:
+        import functools
+
+        from ..models.dense_heads import anchor_generator
+        from ..models.dense_heads.axis_aligned_assigner import (
+            assign_targets, assign_targets_windowed, choose_window_cells,
         )
-        head = getattr(model, "dense_head", None)
-    except Exception:
-        head = None
+        from ..utils import box_coder_utils
+
+        tgt_cfg = head_cfg["TARGET_ASSIGNER_CONFIG"]
+        coder = box_coder_utils.build_box_coder(
+            tgt_cfg["BOX_CODER"], **dict(tgt_cfg.get("BOX_CODER_CONFIG", {}))
+        )
+        anchors, groups, matched, unmatched, a_loc = (
+            anchor_generator.generate_anchors(
+                head_cfg["ANCHOR_GENERATOR_CONFIG"], spec.grid_size, pc
+            )
+        )
+        ny, nx = anchors.shape[:2]
+        w = choose_window_cells(anchors)
+        mh = bool(tgt_cfg.get("MATCH_HEIGHT", False))
+        flat = jnp.asarray(anchors.reshape(-1, anchors.shape[-1]))
+        tiled_g = jnp.asarray(np.tile(groups, ny * nx))
+        tiled_m = jnp.asarray(np.tile(matched, ny * nx))
+        tiled_u = jnp.asarray(np.tile(unmatched, ny * nx))
+        grid = jnp.asarray(anchors)
+        g_loc = jnp.asarray(groups)
+        m_loc = jnp.asarray(matched)
+        u_loc = jnp.asarray(unmatched)
+
+        @jax.jit
+        def dense_fn(g):
+            d = assign_targets(
+                flat, tiled_g, tiled_m, tiled_u, g, box_coder=coder,
+                match_height=mh,
+            )
+            return jnp.sum(d["box_reg_targets"]) + jnp.sum(d["reg_weights"])
+
+        win_fn = jax.jit(functools.partial(
+            assign_targets_windowed, box_coder=coder, match_height=mh,
+            window=w,
+        ))
+
+        @jax.jit
+        def windowed_fn(g):
+            d = win_fn(grid, g_loc, m_loc, u_loc, g)
+            return jnp.sum(d["box_reg_targets"]) + jnp.sum(d["reg_weights"])
+
+        def perturb_gt(bt, out):
+            eps = (
+                jnp.asarray(out, jnp.float32).reshape(-1)[0] * 1e-9 + 1e-4
+            ).astype(jnp.float32)
+            g2 = bt["gt_boxes"]
+            return {**bt, "gt_boxes": g2.at[..., :2].add(eps)}
+
+        for label, fn in (("dense", dense_fn), ("windowed", windowed_fn)):
+            t = chain_time(
+                lambda s, bt, fn=fn: (fn(bt["gt_boxes"]), s), None,
+                batch, perturb_gt,
+            )
+            print(f"assigner[{label}] (A={flat.shape[0]}, W={w}): "
+                  f"{t * 1e3:8.1f} ms/step")
     print("done")
 
 
