@@ -242,10 +242,13 @@ def nms_candidates(
     else:
         keep = _greedy_resolve(mask, cand_valid)
 
-    # compact kept indices to the front, preserving score order
+    # compact kept indices to the front, preserving score order:
+    # top_k over the negated rank selects `post` of `pre` (ties — the
+    # pruned slots — break to the lowest index, matching a stable
+    # argsort) without sorting the full buffer
     post = min(post_maxsize, pre)
     keep_rank = jnp.where(keep, jnp.arange(pre), pre)
-    sel = jnp.argsort(keep_rank)[:post]
+    sel = jax.lax.top_k(-keep_rank, post)[1]
     sel_valid = keep[sel]
     count = jnp.sum(sel_valid.astype(jnp.int32))
     sel = jnp.where(sel_valid, sel, 0)
