@@ -145,6 +145,34 @@ def test_windowed_equals_dense_adversarial():
     assert int(jnp.sum(dense["box_cls_labels"] > 0)) > 0
 
 
+def test_windowed_equals_dense_9dof():
+    """SlopedKITTI anchor-head configs carry 9-DoF gts (x y z dx dy dz
+    yaw pitch roll cls): the encode tail pads anchors to the gt width."""
+    anchors, flat, groups, matched, unmatched, tiled, coder = _setup()
+    w = choose_window_cells(anchors)
+    rng = np.random.RandomState(11)
+    gt7 = np.stack([_random_scene(rng, 8, 6), _random_scene(rng, 8, 2)])
+    gt = np.zeros((2, 8, 10), np.float32)
+    gt[..., :7] = gt7[..., :7]
+    gt[..., 7] = rng.uniform(-0.3, 0.3, (2, 8)) * (gt7[..., 7] > 0)
+    gt[..., 8] = rng.uniform(-0.2, 0.2, (2, 8)) * (gt7[..., 7] > 0)
+    gt[..., 9] = gt7[..., 7]
+    from de6d_tpu.utils.box_coder_utils import build_box_coder
+
+    coder9 = build_box_coder("ResidualCoder", code_size=9)
+    dense = assign_targets(
+        jnp.asarray(flat), jnp.asarray(tiled[0]), jnp.asarray(tiled[1]),
+        jnp.asarray(tiled[2]), jnp.asarray(gt), box_coder=coder9,
+    )
+    windowed = assign_targets_windowed(
+        jnp.asarray(anchors), jnp.asarray(groups), jnp.asarray(matched),
+        jnp.asarray(unmatched), jnp.asarray(gt), box_coder=coder9,
+        window=w,
+    )
+    _assert_equal(dense, windowed)
+    assert int(jnp.sum(dense["box_cls_labels"] > 0)) > 0
+
+
 def test_multihead_partition_equals_dense_concat():
     """Per-head windowed assignment concatenated == dense assignment
     over the concatenated anchor set (classes partition across heads,
