@@ -159,7 +159,7 @@ def _point_offsets_encode(gt_boxes, points, mean_size, gt_classes):
     """Shared xyz/size residuals of the point coders."""
     xa, ya, za = points[..., 0], points[..., 1], points[..., 2]
     if mean_size is not None:
-        anchor = mean_size[gt_classes - 1]  # (N, 3)
+        anchor = jnp.asarray(mean_size)[gt_classes - 1]  # (N, 3)
         dxa, dya, dza = anchor[..., 0], anchor[..., 1], anchor[..., 2]
         diag = jnp.sqrt(dxa**2 + dya**2)
         return [
@@ -185,7 +185,7 @@ def _point_offsets_decode(offsets, points, mean_size, pred_classes):
     xt, yt, zt = offsets[..., 0], offsets[..., 1], offsets[..., 2]
     dxt, dyt, dzt = offsets[..., 3], offsets[..., 4], offsets[..., 5]
     if mean_size is not None:
-        anchor = mean_size[pred_classes - 1]
+        anchor = jnp.asarray(mean_size)[pred_classes - 1]
         dxa, dya, dza = anchor[..., 0], anchor[..., 1], anchor[..., 2]
         diag = jnp.sqrt(dxa**2 + dya**2)
         return [
@@ -206,7 +206,11 @@ class _PointCoderBase:
     def __init__(self, use_mean_size=True, mean_size=None, **kwargs):
         self.use_mean_size = use_mean_size
         if use_mean_size:
-            self.mean_size = jnp.asarray(np.array(mean_size), dtype=jnp.float32)
+            # host numpy, NOT jnp: coders are built inside flax setup(),
+            # which can run under a jit trace (e.g. jitted model.init in
+            # create_train_state) where jnp.asarray would stage the
+            # constant into a tracer and float()/assert would fail
+            self.mean_size = np.asarray(mean_size, dtype=np.float32)
             assert float(self.mean_size.min()) > 0
         else:
             self.mean_size = None
