@@ -55,7 +55,14 @@ def assign_point_targets(points, valid, gt_boxes, box_coder=None,
                 boxes[safe][:, :encode_dims]
                 if encode_dims is not None else boxes[safe]
             )
-            enc = box_coder.encode(enc_src, pts, cls_ids[safe])
+            # truncate to the coder's declared width: 9-DoF gts (sloped
+            # data / SlopeAug) feed 7-DoF heads with pitch/roll appended
+            # as trailing extras by the coder — the reference instead
+            # hard-asserts 8-col gts (point_head_template.py:69), which
+            # would crash its own pointrcnn_slopeaug combination
+            enc = box_coder.encode(
+                enc_src, pts, cls_ids[safe]
+            )[..., : box_coder.code_size]
             reg_label = jnp.where(fg[:, None], enc, 0.0)
         else:
             reg_label = jnp.zeros((pts.shape[0], 1))
