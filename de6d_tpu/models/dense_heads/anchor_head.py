@@ -179,6 +179,7 @@ class AnchorHeadSingle(nn.Module):
                     box_coder=self.box_coder,
                     match_height=bool(tgt_cfg.get("MATCH_HEIGHT", False)),
                     window=self._assign_window,
+                    method=str(tgt_cfg.get("WINDOW_METHOD", "loop")),
                 )
             else:
                 tdict = assign_targets(

@@ -267,6 +267,7 @@ class AnchorHeadMulti(nn.Module):
                             tgt_cfg.get("MATCH_HEIGHT", False)
                         ),
                         window=w,
+                        method=str(tgt_cfg.get("WINDOW_METHOD", "loop")),
                     )
                     for a_grid, g_loc, m_loc, u_loc, w in self._head_grids
                 ]

@@ -130,7 +130,8 @@ def choose_window_cells(anchors_grid, gt_size_factor: float = 1.5,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("box_coder", "match_height", "window")
+    jax.jit,
+    static_argnames=("box_coder", "match_height", "window", "method"),
 )
 def assign_targets_windowed(
     anchors_grid,     # (ny, nx, A_loc, 7) — regular grid (host constant)
@@ -141,6 +142,7 @@ def assign_targets_windowed(
     box_coder=None,
     match_height: bool = False,
     window: int = 37,
+    method: str = "loop",
 ):
     """Bit-exact fast path of :func:`assign_targets` for grid anchors.
 
@@ -161,6 +163,12 @@ def assign_targets_windowed(
     - window patches are applied sequentially (fori_loop) with
       strict-greater updates, so overlapping windows resolve exactly
       like the dense scan.
+
+    ``method`` selects the window-application strategy (both exact,
+    tested equal): 'loop' = M sequential dynamic-slice patch updates;
+    'scatter' = three whole-problem scatters (max of IoU, min of the
+    tie index among max attainers, or of the forced flags) — fewer,
+    larger ops for hardware where sequential small updates dominate.
 
     Parity: same contract as assign_targets (reference
     axis_aligned_target_assigner.py:135-210).
@@ -215,35 +223,71 @@ def assign_targets_windowed(
         gt_max = jnp.max(iou_w, axis=(1, 2, 3))  # (M,)
         gt_max_eff = jnp.where(gt_max > 0, gt_max, -2.0)
 
-        # sequential window application (overlaps resolve like the
-        # dense scan); carries are (ny, nx, A_loc) canvases
-        wmax0 = jnp.full((ny, nx, a_loc), -2.0, jnp.float32)
-        warg0 = jnp.zeros((ny, nx, a_loc), jnp.int32)
-        forced0 = jnp.zeros((ny, nx, a_loc), bool)
-
-        def body(i, state):
-            wmax, warg, forced = state
-            patch = iou_w[i]
-            pm = jax.lax.dynamic_slice(wmax, (sy[i], sx[i], 0),
-                                       (w, w, a_loc))
-            pa = jax.lax.dynamic_slice(warg, (sy[i], sx[i], 0),
-                                       (w, w, a_loc))
-            pf = jax.lax.dynamic_slice(forced, (sy[i], sx[i], 0),
-                                       (w, w, a_loc))
-            upd = patch > pm
-            pm = jnp.where(upd, patch, pm)
-            pa = jnp.where(upd, i, pa)
-            pf = pf | ((patch == gt_max_eff[i]) & (patch > 0))
-            wmax = jax.lax.dynamic_update_slice(wmax, pm, (sy[i], sx[i], 0))
-            warg = jax.lax.dynamic_update_slice(warg, pa, (sy[i], sx[i], 0))
-            forced = jax.lax.dynamic_update_slice(
-                forced, pf, (sy[i], sx[i], 0)
+        if method == "scatter":
+            # three whole-problem scatters instead of M sequential
+            # patch updates. warg = FIRST gt index attaining the window
+            # max (scatter-min over attainers) — equals the loop's
+            # strict-greater chain result wherever the merge below
+            # reads it (wmax > base_max).
+            a_tot = ny * nx * a_loc
+            wy = sy[:, None] + jnp.arange(w, dtype=jnp.int32)  # (M, W)
+            wx = sx[:, None] + jnp.arange(w, dtype=jnp.int32)
+            cells = wy[:, :, None] * nx + wx[:, None, :]  # (M, W, W)
+            rows = (
+                cells[..., None] * a_loc
+                + jnp.arange(a_loc, dtype=jnp.int32)
+            ).reshape(m, -1)  # (M, Wc)
+            vals = iou_w.reshape(m, -1)
+            flat_rows = rows.reshape(-1)
+            wmax_f = jnp.full((a_tot,), -2.0, jnp.float32).at[
+                flat_rows
+            ].max(vals.reshape(-1))
+            is_max = vals == wmax_f[rows]
+            cand = jnp.where(is_max, m_idx[:, None], m).astype(jnp.int32)
+            warg_f = jnp.full((a_tot,), m, jnp.int32).at[flat_rows].min(
+                cand.reshape(-1)
             )
-            return wmax, warg, forced
+            forced_v = (vals == gt_max_eff[:, None]) & (vals > 0)
+            forced_f = jnp.zeros((a_tot,), bool).at[flat_rows].max(
+                forced_v.reshape(-1)
+            )
+            wmax = wmax_f.reshape(ny, nx, a_loc)
+            warg = warg_f.reshape(ny, nx, a_loc)
+            forced = forced_f.reshape(ny, nx, a_loc)
+        else:
+            # sequential window application (overlaps resolve like the
+            # dense scan); carries are (ny, nx, A_loc) canvases
+            wmax0 = jnp.full((ny, nx, a_loc), -2.0, jnp.float32)
+            warg0 = jnp.zeros((ny, nx, a_loc), jnp.int32)
+            forced0 = jnp.zeros((ny, nx, a_loc), bool)
 
-        wmax, warg, forced = jax.lax.fori_loop(
-            0, m, body, (wmax0, warg0, forced0)
-        )
+            def body(i, state):
+                wmax, warg, forced = state
+                patch = iou_w[i]
+                pm = jax.lax.dynamic_slice(wmax, (sy[i], sx[i], 0),
+                                           (w, w, a_loc))
+                pa = jax.lax.dynamic_slice(warg, (sy[i], sx[i], 0),
+                                           (w, w, a_loc))
+                pf = jax.lax.dynamic_slice(forced, (sy[i], sx[i], 0),
+                                           (w, w, a_loc))
+                upd = patch > pm
+                pm = jnp.where(upd, patch, pm)
+                pa = jnp.where(upd, i, pa)
+                pf = pf | ((patch == gt_max_eff[i]) & (patch > 0))
+                wmax = jax.lax.dynamic_update_slice(
+                    wmax, pm, (sy[i], sx[i], 0)
+                )
+                warg = jax.lax.dynamic_update_slice(
+                    warg, pa, (sy[i], sx[i], 0)
+                )
+                forced = jax.lax.dynamic_update_slice(
+                    forced, pf, (sy[i], sx[i], 0)
+                )
+                return wmax, warg, forced
+
+            wmax, warg, forced = jax.lax.fori_loop(
+                0, m, body, (wmax0, warg0, forced0)
+            )
 
         # analytic out-of-window base per anchor slot: value 0 with the
         # FIRST valid same-class gt if one exists, else -1 (argmax 0)

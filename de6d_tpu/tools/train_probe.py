@@ -238,15 +238,21 @@ def main():
             )
             return jnp.sum(d["box_reg_targets"]) + jnp.sum(d["reg_weights"])
 
-        win_fn = jax.jit(functools.partial(
-            assign_targets_windowed, box_coder=coder, match_height=mh,
-            window=w,
-        ))
+        def make_win(method):
+            win_fn = functools.partial(
+                assign_targets_windowed, box_coder=coder, match_height=mh,
+                window=w, method=method,
+            )
 
-        @jax.jit
-        def windowed_fn(g):
-            d = win_fn(grid, g_loc, m_loc, u_loc, g)
-            return jnp.sum(d["box_reg_targets"]) + jnp.sum(d["reg_weights"])
+            @jax.jit
+            def windowed_fn(g):
+                d = win_fn(grid, g_loc, m_loc, u_loc, g)
+                return (
+                    jnp.sum(d["box_reg_targets"])
+                    + jnp.sum(d["reg_weights"])
+                )
+
+            return windowed_fn
 
         def perturb_gt(bt, out):
             eps = (
@@ -255,7 +261,11 @@ def main():
             g2 = bt["gt_boxes"]
             return {**bt, "gt_boxes": g2.at[..., :2].add(eps)}
 
-        for label, fn in (("dense", dense_fn), ("windowed", windowed_fn)):
+        for label, fn in (
+            ("dense", dense_fn),
+            ("windowed-loop", make_win("loop")),
+            ("windowed-scatter", make_win("scatter")),
+        ):
             t = chain_time(
                 lambda s, bt, fn=fn: (fn(bt["gt_boxes"]), s), None,
                 batch, perturb_gt,

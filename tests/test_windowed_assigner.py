@@ -82,8 +82,9 @@ def _assert_equal(dense, windowed):
         )
 
 
+@pytest.mark.parametrize("method", ["loop", "scatter"])
 @pytest.mark.parametrize("match_height", [False, True])
-def test_windowed_equals_dense_random(match_height):
+def test_windowed_equals_dense_random(match_height, method):
     anchors, flat, groups, matched, unmatched, tiled, coder = _setup()
     w = choose_window_cells(anchors)
     rng = np.random.RandomState(0)
@@ -102,7 +103,7 @@ def test_windowed_equals_dense_random(match_height):
     windowed = assign_targets_windowed(
         jnp.asarray(anchors), jnp.asarray(groups), jnp.asarray(matched),
         jnp.asarray(unmatched), jnp.asarray(gt), box_coder=coder,
-        match_height=match_height, window=w,
+        match_height=match_height, window=w, method=method,
     )
     _assert_equal(dense, windowed)
     # sanity: the scene actually produces foreground anchors
@@ -137,11 +138,13 @@ def test_windowed_equals_dense_adversarial():
         jnp.asarray(flat), jnp.asarray(tiled[0]), jnp.asarray(tiled[1]),
         jnp.asarray(tiled[2]), jnp.asarray(gt), box_coder=coder,
     )
-    windowed = assign_targets_windowed(
-        jnp.asarray(anchors), jnp.asarray(groups), jnp.asarray(matched),
-        jnp.asarray(unmatched), jnp.asarray(gt), box_coder=coder, window=w,
-    )
-    _assert_equal(dense, windowed)
+    for method in ("loop", "scatter"):
+        windowed = assign_targets_windowed(
+            jnp.asarray(anchors), jnp.asarray(groups),
+            jnp.asarray(matched), jnp.asarray(unmatched),
+            jnp.asarray(gt), box_coder=coder, window=w, method=method,
+        )
+        _assert_equal(dense, windowed)
     assert int(jnp.sum(dense["box_cls_labels"] > 0)) > 0
 
 
