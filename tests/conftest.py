@@ -45,6 +45,7 @@ _SLOW_MODULES = {
     "test_pointmlp", "test_spmd_train", "test_overfit_learns",
     "test_eval_vs_reference", "test_occam", "test_point_head_box6d",
     "test_vectorpool", "test_anchor_head_multi", "test_train_infra",
+    "test_sloped_point_heads",
 }
 
 
