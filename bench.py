@@ -62,6 +62,42 @@ def _time_scans_per_sec(infer, chain, params, stats, batch, batch_size,
     return statistics.median(per_rep), per_rep
 
 
+def _time_scans_per_sec_pipelined(infer, params, stats, batch, batch_size,
+                                  iters=10, reps=7):
+    """Pipelined throughput (the BASELINE north-star is double-buffered
+    batched inference): each iteration gets a DISTINCT pre-staged input
+    (fresh per rep, so the tunnel cannot memoize any dispatch), there is
+    no cross-iteration data dependency (adjacent batches may overlap on
+    device, exactly like the production streaming server), and EVERY
+    output is host-fetched at the end of the rep (no dispatched work can
+    be skipped)."""
+    import jax
+    import jax.numpy as jnp
+
+    def staged(rep):
+        # distinct buffers per iteration AND per rep
+        salt = np.float32(1e-4) * (np.arange(1, iters + 1, dtype=np.float32)
+                                   + np.float32(rep) * 0.37)
+        bs = [
+            {**batch, "points": batch["points"] + jnp.float32(s)}
+            for s in salt
+        ]
+        jax.block_until_ready(bs[-1]["points"])
+        return bs
+
+    outs = [infer(params, stats, b) for b in staged(-1)]  # warmup
+    [np.asarray(o[2]) for o in outs]
+    per_rep = []
+    for rep in range(reps):
+        bs = staged(rep)
+        t0 = time.perf_counter()
+        outs = [infer(params, stats, b) for b in bs]
+        for o in outs:
+            np.asarray(o[2])  # fetch every output
+        per_rep.append(batch_size * iters / (time.perf_counter() - t0))
+    return statistics.median(per_rep), per_rep
+
+
 def _load_assets():
     p = ASSETS / "pointpillar_params.npz"
     s = ASSETS / "scans.npz"
@@ -182,8 +218,14 @@ def main():
         )
         results[label] = med
         all_reps[label] = reps
-        print(f"# {label}: median {med:.1f} scans/s, reps "
+        print(f"# {label}: median {med:.1f} scans/s (serial-chained), reps "
               f"{[f'{r:.1f}' for r in reps]}", file=sys.stderr)
+        medp, repsp = _time_scans_per_sec_pipelined(
+            infer, params, stats, batch, batch_size
+        )
+        results[label + "_pipelined"] = medp
+        print(f"# {label}: median {medp:.1f} scans/s (pipelined), reps "
+              f"{[f'{r:.1f}' for r in repsp]}", file=sys.stderr)
 
     # batch sweep on the realistic load (chained, shorter)
     sweep = {}
@@ -211,15 +253,20 @@ def main():
         print(f"# sweep batch={bs}: {med:.1f} scans/s", file=sys.stderr)
     sweep[f"batch_{batch_size}"] = round(results["realistic"], 2)
 
-    scans_per_sec = results["realistic"]
-    # p99-ish tail over reps (chained batches: latency = batch/throughput)
+    # headline = pipelined throughput (BASELINE north-star:
+    # "double-buffered batched single-frame inference"); the
+    # serial-chained number (each scan's input depends on the previous
+    # output — no overlap possible) is reported alongside and also
+    # yields the per-scan latency figures
+    scans_per_sec = results["realistic_pipelined"]
+    serial = results["realistic"]
     worst_rep = min(all_reps["realistic"])
     print(
         json.dumps(
             {
                 "metric": (
                     "KITTI scans/sec/chip (PointPillars bf16, 16k-pt "
-                    "scans, voxelize+NMS incl., "
+                    "scans, voxelize+NMS incl., double-buffered, "
                     + ("trained ckpt + real scans"
                        if assets is not None else "random init, ~768 "
                        "NMS candidates/sample")
@@ -230,10 +277,14 @@ def main():
                 "vs_baseline": round(
                     scans_per_sec / BASELINE_SCANS_PER_SEC_PER_CHIP, 3
                 ),
-                "p50_latency_ms_per_scan": round(1e3 / scans_per_sec, 3),
+                "serial_chained_scans_per_sec": round(serial, 2),
+                "p50_latency_ms_per_scan": round(1e3 / serial, 3),
                 "p99_latency_ms_per_scan": round(1e3 / worst_rep, 3),
                 "worst_case_scans_per_sec": round(
                     results["worst_case"], 2
+                ),
+                "worst_case_pipelined": round(
+                    results["worst_case_pipelined"], 2
                 ),
                 "batch_sweep": sweep,
                 "batch_size": batch_size,
