@@ -207,9 +207,21 @@ def main():
         ]
         return cfg
 
+    def no_goh():
+        # vote head WITHOUT the ground-aware pitch observation (the
+        # reference ablation's GOH row: direct pitch regression inside
+        # the bin coder, det6d_pitch_car.yaml)
+        cfg = tiny_det6d_cfg()
+        cfg["POINT_HEAD"]["TARGET_CONFIG"]["BOX_CODER_CONFIG"][
+            "ground_aware"
+        ] = False
+        return cfg
+
     rows = [
         train_and_score("vote (Det6D)", scaled(tiny_det6d_cfg()), batches,
                         spec, args.steps),
+        train_and_score("vote, no GOH (pitch d.r.)", scaled(no_goh()),
+                        batches, spec, args.steps),
         train_and_score("direct-reg (D.R.)", scaled(tiny_dr_cfg()), batches,
                         spec, args.steps),
     ]
