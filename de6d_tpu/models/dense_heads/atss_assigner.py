@@ -135,7 +135,11 @@ def assign_targets_atss(
             anchors_full = jnp.pad(
                 anchors, ((0, 0), (0, ndim - anchors.shape[-1]))
             )
-        target = box_coder.encode(matched, anchors_full)
+        # truncate to the coder's width (9-DoF gts append pitch/roll
+        # after the yaw code; 7-DoF heads predict code_size channels)
+        target = box_coder.encode(matched, anchors_full)[
+            ..., : box_coder.code_size
+        ]
         reg_targets = jnp.where(fg[:, None], target, 0.0)
         reg_weights = fg.astype(jnp.float32)
         return labels, reg_targets, reg_weights

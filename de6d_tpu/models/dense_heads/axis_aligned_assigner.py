@@ -86,7 +86,12 @@ def assign_targets(
             anchors_full = jnp.pad(
                 anchors, ((0, 0), (0, ndim - anchors.shape[-1]))
             )
-        target = box_coder.encode(matched_gt, anchors_full)
+        # truncate to the coder's declared width: extra gt dims (pitch/
+        # roll on sloped data) are appended after the yaw code and a
+        # 7-DoF head's conv_box only predicts code_size channels
+        target = box_coder.encode(matched_gt, anchors_full)[
+            ..., : box_coder.code_size
+        ]
         reg_targets = jnp.where(fg[:, None], target, 0.0)
         reg_weights = fg.astype(jnp.float32)
         return label, reg_targets, reg_weights
@@ -326,7 +331,9 @@ def assign_targets_windowed(
         anchors_full = anchors_flat
         if ndim > 7:
             anchors_full = jnp.pad(anchors_flat, ((0, 0), (0, ndim - 7)))
-        target = box_coder.encode(matched_gt, anchors_full)
+        target = box_coder.encode(matched_gt, anchors_full)[
+            ..., : box_coder.code_size
+        ]
         reg_targets = jnp.where(fg[:, None], target, 0.0)
         reg_weights = fg.astype(jnp.float32)
         return label, reg_targets, reg_weights
