@@ -144,6 +144,11 @@ def main():
     pc = spec.point_cloud_range
     if assets is not None:
         params, stats, scan_pts = assets
+        # device-commit the checkpoint ONCE: numpy params passed to a
+        # jitted fn re-upload ~19 MB of weights through the tunnel on
+        # EVERY dispatch (~280 ms/batch measured — 10x the whole model)
+        params = jax.device_put(params)
+        stats = jax.device_put(stats)
         reps = int(np.ceil(batch_size / scan_pts.shape[0]))
         pts = np.tile(scan_pts, (reps, 1, 1))[:batch_size]
         print(f"# trained checkpoint + {scan_pts.shape[0]} real scans",
