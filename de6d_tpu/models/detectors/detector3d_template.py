@@ -326,31 +326,27 @@ def post_processing(batch_dict, post_cfg, num_class: int):
         )  # (B, P, 7+)
     cand_labels = jnp.take_along_axis(labels, order, axis=1)
 
-    def single(cand_b, top_s, lab_b):
-        sel, count = nms_ops.nms_candidates(
-            cand_b,
-            top_s,
-            thresh=float(nms_cfg["NMS_THRESH"]),
-            post_maxsize=int(nms_cfg["NMS_POST_MAXSIZE"]),
-            iou_kind=iou_kind,
-        )
-        post = sel.shape[0]
-        in_count = jnp.arange(post) < count
-        return {
-            "pred_boxes": jnp.where(in_count[:, None], cand_b[sel], 0.0),
-            "pred_scores": jnp.where(in_count, top_s[sel], 0.0),
-            "pred_labels": jnp.where(
-                in_count, lab_b[sel], 0
-            ).astype(jnp.int32),
-            "pred_count": count,
-        }
-
-    # sequential over batch: vmapping the NMS triples compile time and
-    # doubles step latency on v5e (measured); the per-sample NMS is
-    # already wide enough to fill the VPU
-    return jax.lax.map(
-        lambda args: single(*args), (cand_boxes, top_scores, cand_labels)
+    # batched NMS: one fused Pallas launch for the whole batch on TPU
+    # (mask + greedy resolve in-kernel, no HBM mask); per-sample
+    # mask+resolve fallback elsewhere — identical greedy semantics
+    sel, counts = nms_ops.nms_candidates_batched(
+        cand_boxes,
+        top_scores,
+        thresh=float(nms_cfg["NMS_THRESH"]),
+        post_maxsize=int(nms_cfg["NMS_POST_MAXSIZE"]),
+        iou_kind=iou_kind,
     )
+    post = sel.shape[1]
+    in_count = jnp.arange(post)[None, :] < counts[:, None]  # (B, post)
+    sel_boxes = jnp.take_along_axis(cand_boxes, sel[..., None], axis=1)
+    sel_scores = jnp.take_along_axis(top_scores, sel, axis=1)
+    sel_labels = jnp.take_along_axis(cand_labels, sel, axis=1)
+    return {
+        "pred_boxes": jnp.where(in_count[..., None], sel_boxes, 0.0),
+        "pred_scores": jnp.where(in_count, sel_scores, 0.0),
+        "pred_labels": jnp.where(in_count, sel_labels, 0).astype(jnp.int32),
+        "pred_count": counts,
+    }
 
 
 def generate_recall_record(batch_dict, pred_boxes, pred_counts,

@@ -255,6 +255,67 @@ def nms_candidates(
     return sel.astype(jnp.int32), count
 
 
+@functools.partial(
+    jax.jit, static_argnames=("thresh", "post_maxsize", "iou_kind")
+)
+def nms_candidates_batched(
+    cand,
+    top_scores,
+    thresh: float,
+    post_maxsize: int = 500,
+    iou_kind: str = "rotated",
+):
+    """Batched greedy NMS over pre-selected candidates.
+
+    Semantics are exactly ``jax.lax.map`` of :func:`nms_candidates`
+    over the batch dim, but on TPU the whole batch resolves inside ONE
+    fused Pallas launch (``pallas/nms_fused.py``): no (P, P) mask in
+    HBM, no per-sample kernel-launch train. The kept-index compaction
+    and count are likewise batched (one ``top_k`` for all samples).
+
+    Args:
+        cand: (B, P, 7+) candidates, score-descending per sample.
+        top_scores: (B, P); NEG_INF marks padding slots.
+
+    Returns:
+        sel: (B, post_maxsize) int32 indices into the candidate axis,
+        count: (B,) int32 valid selections per sample.
+    """
+    b, pre = cand.shape[0], cand.shape[1]
+    cand_valid = top_scores > NEG_INF / 2
+    counts_pre = jnp.sum(cand_valid.astype(jnp.int32), axis=1)
+
+    if (
+        iou_kind == "rotated"
+        and jax.default_backend() == "tpu"
+        and pre % 128 == 0
+    ):
+        from .pallas.nms_fused import nms_keep_batched
+
+        keep = nms_keep_batched(cand[..., :7], counts_pre, float(thresh))
+    else:
+        # fallback: per-sample mask + resolve (exact same semantics)
+        def single(args):
+            cb, tsb = args
+            sel_s, cnt_s = nms_candidates(
+                cb, tsb, thresh=thresh, post_maxsize=post_maxsize,
+                iou_kind=iou_kind,
+            )
+            return sel_s, cnt_s
+
+        sel, count = jax.lax.map(single, (cand, top_scores))
+        return sel, count
+
+    post = min(post_maxsize, pre)
+    idx = jnp.arange(pre)
+    keep_rank = jnp.where(keep, idx[None, :], pre)
+    sel = jax.lax.top_k(-keep_rank, post)[1]  # (B, post)
+    sel_valid = jnp.take_along_axis(keep, sel, axis=1)
+    count = jnp.sum(sel_valid.astype(jnp.int32), axis=1)
+    sel = jnp.where(sel_valid, sel, 0)
+    return sel.astype(jnp.int32), count
+
+
 def class_agnostic_nms(
     box_scores,
     box_preds,

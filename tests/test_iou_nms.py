@@ -214,3 +214,71 @@ def test_select_candidates_matches_topk(rng):
     s_ref, o_ref = jax.lax.top_k(jnp.asarray(scores), pre)
     np.testing.assert_array_equal(np.asarray(s_fast), np.asarray(s_ref))
     np.testing.assert_array_equal(np.asarray(o_fast), np.asarray(o_ref))
+
+
+def test_fused_nms_kernel_interpret(rng):
+    """The fused Pallas NMS (mask + greedy resolve in one kernel,
+    batched) must reproduce per-sample nms_candidates exactly —
+    including suppression chains crossing 128-blocks, gated invalid
+    suffixes, and empty samples."""
+    import jax.numpy as jnp
+    from de6d_tpu.ops.pallas.nms_fused import nms_keep_batched
+
+    b, p = 3, 256
+    boxes = np.zeros((b, p, 7), np.float32)
+    boxes[..., 0:2] = rng.uniform(-12, 12, (b, p, 2))
+    boxes[..., 3:5] = rng.uniform(1.5, 4, (b, p, 2))
+    boxes[..., 5] = 1.5
+    boxes[..., 6] = rng.uniform(-np.pi, np.pi, (b, p))
+    # a dense chain cluster to force cross-block suppression chains
+    boxes[:, :80, 0:2] = rng.uniform(-3, 3, (b, 80, 2))
+    scores = -np.sort(-rng.uniform(0, 1, (b, p)).astype(np.float32), axis=1)
+    counts = np.array([p, 130, 0], np.int32)
+    ts = scores.copy()
+    for i, c in enumerate(counts):
+        ts[i, c:] = nms.NEG_INF
+
+    keep = np.asarray(
+        nms_keep_batched(jnp.asarray(boxes), jnp.asarray(counts), 0.2,
+                         interpret=True)
+    )
+    for i in range(b):
+        sel_ref, cnt_ref = nms.nms_candidates(
+            jnp.asarray(boxes[i]), jnp.asarray(ts[i]),
+            thresh=0.2, post_maxsize=p, iou_kind="rotated",
+        )
+        ref_keep = np.zeros(p, bool)
+        ref_keep[np.asarray(sel_ref)[: int(cnt_ref)]] = True
+        np.testing.assert_array_equal(keep[i], ref_keep, err_msg=f"sample {i}")
+
+
+def test_nms_candidates_batched_fallback(rng):
+    """Off-TPU, nms_candidates_batched must equal lax.map of
+    nms_candidates (the exact per-sample path)."""
+    import jax
+    import jax.numpy as jnp
+
+    b, p = 4, 64
+    boxes = np.zeros((b, p, 7), np.float32)
+    boxes[..., 0:2] = rng.uniform(-10, 10, (b, p, 2))
+    boxes[..., 3:5] = rng.uniform(1.5, 4, (b, p, 2))
+    boxes[..., 5] = 1.5
+    boxes[..., 6] = rng.uniform(-np.pi, np.pi, (b, p))
+    scores = -np.sort(-rng.uniform(0, 1, (b, p)).astype(np.float32), axis=1)
+    scores[1, 40:] = nms.NEG_INF
+    scores[3, :] = nms.NEG_INF
+
+    sel, count = nms.nms_candidates_batched(
+        jnp.asarray(boxes), jnp.asarray(scores),
+        thresh=0.25, post_maxsize=32, iou_kind="rotated",
+    )
+    for i in range(b):
+        sel_ref, cnt_ref = nms.nms_candidates(
+            jnp.asarray(boxes[i]), jnp.asarray(scores[i]),
+            thresh=0.25, post_maxsize=32, iou_kind="rotated",
+        )
+        assert int(count[i]) == int(cnt_ref)
+        np.testing.assert_array_equal(
+            np.asarray(sel[i])[: int(cnt_ref)],
+            np.asarray(sel_ref)[: int(cnt_ref)],
+        )
