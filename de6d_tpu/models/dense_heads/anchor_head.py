@@ -167,7 +167,9 @@ class AnchorHeadSingle(nn.Module):
                     box_coder=self.box_coder,
                     match_height=bool(tgt_cfg.get("MATCH_HEIGHT", False)),
                 )
-            elif self._assign_window and tgt_cfg.get("WINDOWED_ASSIGN", True):
+            elif self._assign_window and tgt_cfg.get(
+                "WINDOWED_ASSIGN", jax.default_backend() != "tpu"
+            ):
                 # exact fast path: windowed IoU around each gt instead
                 # of the dense (A, M) matrix (bit-equal, tested)
                 tdict = assign_targets_windowed(

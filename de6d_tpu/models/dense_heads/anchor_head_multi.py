@@ -252,7 +252,9 @@ class AnchorHeadMulti(nn.Module):
                     match_height=bool(tgt_cfg.get("MATCH_HEIGHT", False)),
                 )
             elif (
-                tgt_cfg.get("WINDOWED_ASSIGN", True)
+                tgt_cfg.get(
+                    "WINDOWED_ASSIGN", jax.default_backend() != "tpu"
+                )
                 and all(g[4] for g in self._head_grids)
             ):
                 parts = [
