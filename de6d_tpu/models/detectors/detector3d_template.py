@@ -267,7 +267,14 @@ def post_processing(batch_dict, post_cfg, num_class: int):
     labels = jnp.argmax(cls_preds, axis=-1) + 1  # (B, A)
     masked = jnp.where(scores >= score_thresh, scores, nms_ops.NEG_INF)
     pre = min(int(nms_cfg["NMS_PRE_MAXSIZE"]), scores.shape[1])
-    if masked.shape[0] == 1:
+    lazy = batch_dict.get("lazy_box_decode")
+    a_loc_ts = int(lazy["a_loc"]) if lazy is not None else 0
+    if a_loc_ts and masked.shape[1] >= 4 * pre * a_loc_ts:
+        # exact two-stage top-k (cell-max prune + two-key sort),
+        # bit-identical to lax.top_k incl. tie order — sorts 53k+24k
+        # elements instead of 321k at KITTI PointPillars scale
+        top_scores, order = nms_ops.top_k_two_stage(masked, pre, a_loc_ts)
+    elif masked.shape[0] == 1:
         # XLA's TPU windowed-sort lowering CHECK-fails on a (1, A)
         # batched top_k (fusion_util TransformWindow, observed on
         # f32[1,321408]); the 1-D form compiles fine
@@ -275,7 +282,6 @@ def post_processing(batch_dict, post_cfg, num_class: int):
         top_scores, order = ts1[None], o1[None]
     else:
         top_scores, order = jax.lax.top_k(masked, pre)  # (B, P)
-    lazy = batch_dict.get("lazy_box_decode")
     if lazy is not None:
         # decode only the gathered candidates: same elementwise math as
         # the head's full decode, on P instead of A rows (~78x less at

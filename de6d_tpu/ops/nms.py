@@ -145,6 +145,51 @@ def _select_candidates(scores, pre: int):
     return jax.lax.top_k(scores, pre)
 
 
+def top_k_two_stage(scores, pre: int, group: int):
+    """Exact top-`pre` of (B, A) `scores` where A = ncells * `group`
+    and anchor index is cell-major (idx = cell*group + slot).
+
+    Bit-identical to ``jax.lax.top_k(scores, pre)`` including tie
+    order (equal values -> lower index first), but sorts far fewer
+    elements: stage 1 ranks cells by their per-cell max (top_k over
+    A/group), stage 2 two-key-sorts only the `pre` kept cells'
+    anchors (pre*group elements) by (-score, global index).
+
+    Exactness: for an anchor a in the global top-`pre`, every cell
+    ranked strictly before a's cell (by cell-max desc, cell idx asc —
+    lax.top_k's own tie rule) contributes a distinct anchor that also
+    outranks a globally, and there are < `pre` such anchors, so a's
+    cell survives stage 1; stage 2's lexicographic (-score, idx) sort
+    then reproduces top_k's exact value/tie order.
+
+    Replaces the single (B, 321k) top_k in post_processing (~6 ms/
+    batch-of-8 on the v5e tunnel) with a 53k top_k + a 24.5k sort.
+    """
+    B, A = scores.shape
+    ncells = A // group
+    assert ncells * group == A, (A, group)
+    kc = min(pre, ncells)
+    cell_view = scores.reshape(B, ncells, group)
+    cell_max = jnp.max(cell_view, axis=-1)  # (B, ncells)
+    if B == 1:
+        # same TPU windowed-sort lowering CHECK-fail workaround as
+        # post_processing's batched top_k (f32[1, A] TransformWindow)
+        _, cells = jax.lax.top_k(cell_max[0], kc)
+        cells = cells[None]
+    else:
+        _, cells = jax.lax.top_k(cell_max, kc)  # (B, kc)
+    rows = jnp.take_along_axis(
+        cell_view, cells[..., None], axis=1
+    )  # (B, kc, group)
+    ids = cells[..., None] * group + jnp.arange(group, dtype=cells.dtype)
+    flat = rows.reshape(B, kc * group)
+    fid = ids.reshape(B, kc * group)
+    neg_sorted, id_sorted = jax.lax.sort(
+        (-flat, fid), dimension=-1, num_keys=2
+    )
+    return -neg_sorted[:, :pre], id_sorted[:, :pre]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("thresh", "pre_maxsize", "post_maxsize", "iou_kind"),

@@ -282,3 +282,24 @@ def test_nms_candidates_batched_fallback(rng):
             np.asarray(sel[i])[: int(cnt_ref)],
             np.asarray(sel_ref)[: int(cnt_ref)],
         )
+
+
+def test_top_k_two_stage_matches_topk(rng):
+    """Two-stage (cell-max prune + two-key sort) top-k is bit-identical
+    to lax.top_k incl. tie order, across tie-heavy and gated inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    for B, ncells, group, pre in [(4, 64, 6, 16), (2, 128, 2, 32),
+                                  (1, 96, 6, 24), (3, 50, 4, 200)]:
+        A = ncells * group
+        # quantized scores force many exact ties across cells
+        s = np.round(rng.random((B, A)).astype(np.float32) * 8) / 8
+        # gate some to NEG_INF like post_processing does
+        s[rng.random((B, A)) < 0.3] = nms.NEG_INF
+        ref_v, ref_i = jax.lax.top_k(jnp.asarray(s), min(pre, A))
+        got_v, got_i = nms.top_k_two_stage(
+            jnp.asarray(s), min(pre, A), group
+        )
+        np.testing.assert_array_equal(np.asarray(ref_v), np.asarray(got_v))
+        np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
