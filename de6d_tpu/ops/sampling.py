@@ -55,14 +55,17 @@ def _fps_loop(npoint, n, init_last, init_key_fn, dist_fn, valid):
     return idxs
 
 
+def _use_pallas_fps() -> bool:
+    # whole-loop-in-one-kernel Pallas FPS on TPU (each fori_loop
+    # iteration otherwise pays ~O(100 µs) launch overhead — a Det6D
+    # forward runs 5.6k sequential picks); jnp path elsewhere and as
+    # the bit-parity oracle
+    return jax.default_backend() == "tpu"
+
+
 @functools.partial(jax.jit, static_argnames=("npoint",))
-def farthest_point_sample(xyz, npoint: int, valid_mask=None):
-    """(B, N, 3) → (B, npoint) int32 indices. Seeds at index 0
-    (CUDA parity). Invalid points are never selected (given enough
-    valid points)."""
+def _farthest_point_sample_jnp(xyz, npoint: int, valid_mask):
     b, n, _ = xyz.shape
-    if valid_mask is None:
-        valid_mask = jnp.ones((b, n), dtype=bool)
 
     def single(xyz_i, valid_i):
         def dist_fn(last):
@@ -76,13 +79,29 @@ def farthest_point_sample(xyz, npoint: int, valid_mask=None):
     return jax.vmap(single)(xyz, valid_mask)
 
 
-@functools.partial(jax.jit, static_argnames=("npoint",))
-def weighted_farthest_point_sample(xyz, weights, npoint: int, valid_mask=None):
-    """s-fps: semantics-weighted FPS (SASA). (B, N, 3), (B, N) →
-    (B, npoint). Seeds with argmax(weight)."""
+def farthest_point_sample(xyz, npoint: int, valid_mask=None):
+    """(B, N, 3) → (B, npoint) int32 indices. Seeds at index 0
+    (CUDA parity). Invalid points are never selected (given enough
+    valid points)."""
     b, n, _ = xyz.shape
     if valid_mask is None:
         valid_mask = jnp.ones((b, n), dtype=bool)
+    if _use_pallas_fps():
+        from .pallas.fps import fps_pallas
+
+        # indices are discrete — no gradient flows through pick
+        # computation on the jnp path either (argmax has none);
+        # stop_gradient lets autodiff skip the pallas_call
+        return fps_pallas(
+            jax.lax.stop_gradient(xyz), valid_mask, npoint
+        )
+    return _farthest_point_sample_jnp(xyz, npoint, valid_mask)
+
+
+@functools.partial(jax.jit, static_argnames=("npoint",))
+def _weighted_farthest_point_sample_jnp(xyz, weights, npoint: int,
+                                        valid_mask):
+    b, n, _ = xyz.shape
 
     def single(xyz_i, w_i, valid_i):
         w_eff = jnp.maximum(w_i, 1e-12)
@@ -100,12 +119,26 @@ def weighted_farthest_point_sample(xyz, weights, npoint: int, valid_mask=None):
     return jax.vmap(single)(xyz, weights, valid_mask)
 
 
-@functools.partial(jax.jit, static_argnames=("npoint",))
-def matrix_farthest_point_sample(dist_matrix, npoint: int, valid_mask=None):
-    """f-fps: FPS over a precomputed (B, N, N) distance matrix."""
-    b, n, _ = dist_matrix.shape
+def weighted_farthest_point_sample(xyz, weights, npoint: int, valid_mask=None):
+    """s-fps: semantics-weighted FPS (SASA). (B, N, 3), (B, N) →
+    (B, npoint). Seeds with argmax(weight)."""
+    b, n, _ = xyz.shape
     if valid_mask is None:
         valid_mask = jnp.ones((b, n), dtype=bool)
+    if _use_pallas_fps():
+        from .pallas.fps import fps_pallas
+
+        return fps_pallas(
+            jax.lax.stop_gradient(xyz), valid_mask, npoint,
+            weights=jax.lax.stop_gradient(weights), weighted=True,
+        )
+    return _weighted_farthest_point_sample_jnp(xyz, weights, npoint,
+                                               valid_mask)
+
+
+@functools.partial(jax.jit, static_argnames=("npoint",))
+def _matrix_farthest_point_sample_jnp(dist_matrix, npoint: int, valid_mask):
+    b, n, _ = dist_matrix.shape
 
     def single(dm, valid_i):
         return _fps_loop(
@@ -114,6 +147,20 @@ def matrix_farthest_point_sample(dist_matrix, npoint: int, valid_mask=None):
         )
 
     return jax.vmap(single)(dist_matrix, valid_mask)
+
+
+def matrix_farthest_point_sample(dist_matrix, npoint: int, valid_mask=None):
+    """f-fps: FPS over a precomputed (B, N, N) distance matrix."""
+    b, n, _ = dist_matrix.shape
+    if valid_mask is None:
+        valid_mask = jnp.ones((b, n), dtype=bool)
+    if _use_pallas_fps():
+        from .pallas.fps import matrix_fps_pallas
+
+        return matrix_fps_pallas(
+            jax.lax.stop_gradient(dist_matrix), valid_mask, npoint
+        )
+    return _matrix_farthest_point_sample_jnp(dist_matrix, npoint, valid_mask)
 
 
 def calc_dist_matrix_for_sampling(xyz, features=None, gamma: float = 1.0):

@@ -85,3 +85,54 @@ def test_gather_and_topk(rng):
     scores = rng.randn(1, 10).astype(np.float32)
     top = np.asarray(sampling.sample_top_k_by_score(scores, 3))
     np.testing.assert_array_equal(top[0], np.argsort(-scores[0])[:3])
+
+
+def test_pallas_fps_matches_jnp(rng):
+    """Whole-loop-in-one-kernel Pallas FPS (interpret mode) is
+    bit-identical to the jnp fori_loop path: plain + weighted, ragged
+    valid masks, npoint not a lane multiple, duplicate-pick regime
+    (valid < npoint)."""
+    import jax.numpy as jnp
+
+    from de6d_tpu.ops.pallas.fps import fps_pallas
+
+    for b, n, npoint, nvalid in [(2, 300, 96, None), (1, 128, 128, None),
+                                 (3, 257, 60, 40), (2, 512, 200, 512)]:
+        xyz = rng.standard_normal((b, n, 3)).astype(np.float32) * 10
+        valid = np.ones((b, n), bool)
+        if nvalid is not None:
+            valid[:, nvalid:] = False
+        ref = sampling._farthest_point_sample_jnp(
+            jnp.asarray(xyz), npoint, jnp.asarray(valid))
+        got = fps_pallas(jnp.asarray(xyz), jnp.asarray(valid), npoint,
+                         interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+        w = rng.random((b, n)).astype(np.float32)
+        ref_w = sampling._weighted_farthest_point_sample_jnp(
+            jnp.asarray(xyz), jnp.asarray(w), npoint, jnp.asarray(valid))
+        got_w = fps_pallas(jnp.asarray(xyz), jnp.asarray(valid), npoint,
+                           weights=jnp.asarray(w), weighted=True,
+                           interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref_w), np.asarray(got_w))
+
+
+def test_pallas_matrix_fps_matches_jnp(rng):
+    """DMA-row-streaming matrix FPS (interpret) bit-equal to jnp."""
+    import jax.numpy as jnp
+
+    from de6d_tpu.ops.pallas.fps import matrix_fps_pallas
+
+    for b, n, npoint, nvalid in [(2, 200, 64, None), (1, 256, 90, 150)]:
+        xyz = rng.standard_normal((b, n, 3)).astype(np.float32) * 5
+        feats = rng.standard_normal((b, n, 8)).astype(np.float32)
+        dm = sampling.calc_dist_matrix_for_sampling(
+            jnp.asarray(xyz), jnp.asarray(feats))
+        valid = np.ones((b, n), bool)
+        if nvalid is not None:
+            valid[:, nvalid:] = False
+        ref = sampling._matrix_farthest_point_sample_jnp(
+            dm, npoint, jnp.asarray(valid))
+        got = matrix_fps_pallas(dm, jnp.asarray(valid), npoint,
+                                interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
