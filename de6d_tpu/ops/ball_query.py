@@ -151,13 +151,21 @@ def query_and_group(
     idx, cnt = ball_query(
         xyz, new_xyz, radius, nsample, valid_mask, new_valid_mask, radius_in
     )
-    grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
-    if features is not None:
+    if features is not None and use_xyz:
+        # ONE wide gather of concat[xyz, feat] instead of two narrow
+        # ones: TPU row-gather cost scales with row COUNT, not bytes
+        # (cell-granularity lesson, detector3d_template.py), and the
+        # SA1-scale gather is ~170 ms/call for 2M rows on the tunnel
+        # chip. Bit-identical: the center subtraction commutes with
+        # the gather split.
+        src = jnp.concatenate([xyz, features], axis=-1)
+        g = group_points(src, idx)
+        grouped_xyz = g[..., :3] - new_xyz[:, :, None, :]
+        grouped = jnp.concatenate([grouped_xyz, g[..., 3:]], axis=-1)
+    elif features is not None:
         grouped = group_points(features, idx)
-        if use_xyz:
-            grouped = jnp.concatenate([grouped_xyz, grouped], axis=-1)
     else:
-        grouped = grouped_xyz
+        grouped = group_points(xyz, idx) - new_xyz[:, :, None, :]
     return grouped, cnt
 
 

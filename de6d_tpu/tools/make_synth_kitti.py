@@ -40,12 +40,19 @@ def sample_car_points(box7, n, rng):
     local[:n_side, 0] = np.where(face < 2, u * l, np.where(face == 2, 0.5, -0.5) * l)
     local[:n_side, 1] = np.where(face < 2, np.where(face == 0, 0.5, -0.5) * w, u * w)
     local[:n_side, 2] = zs * h
-    # hood / trunk top surface at ~35% height
-    local[n_side:n_side + n_top, 0] = rng.uniform(-0.5, 0.5, n_top) * l
+    # top surface: LOW hood on the front half, higher trunk lid on the
+    # rear — an x-dependent height step that keeps the full heading
+    # recoverable even when slope pitch tilts the whole body (the
+    # cabin cue alone proved marginal: a sloped200 run latched 42% of
+    # yaws pi-flipped with AOS(TP) = 0.0 while 3D AP stayed 80)
+    xs_top = rng.uniform(-0.5, 0.5, n_top)
+    local[n_side:n_side + n_top, 0] = xs_top * l
     local[n_side:n_side + n_top, 1] = rng.uniform(-0.45, 0.45, n_top) * w
-    local[n_side:n_side + n_top, 2] = (0.1 + rng.uniform(0, 0.08, n_top)) * h
+    local[n_side:n_side + n_top, 2] = (
+        np.where(xs_top > 0.1, 0.02, 0.16) + rng.uniform(0, 0.06, n_top)
+    ) * h
     # cabin: rear-shifted box, upper half (breaks front/back symmetry)
-    cab_l, cab_off = 0.45 * l, -0.12 * l
+    cab_l, cab_off = 0.40 * l, -0.18 * l
     local[n_side + n_top:, 0] = cab_off + rng.uniform(-0.5, 0.5, n_cab) * cab_l
     local[n_side + n_top:, 1] = rng.uniform(-0.42, 0.42, n_cab) * w
     local[n_side + n_top:, 2] = rng.uniform(0.12, 0.5, n_cab) * h
