@@ -94,8 +94,12 @@ def ball_query(
             # is searchsorted(rank, k) — K·log2(N) batched gathers
             # instead of a full (chunk, N) top_k sort (which measured
             # ~40x slower at SA1 scale: 16384 source points, k=64).
-            rank = jnp.cumsum(in_ball.astype(jnp.int32), axis=-1)
-            ks = jnp.arange(1, nsample + 1, dtype=jnp.int32)
+            # The cumsum is the traffic hot spot (log-depth passes over
+            # a (chunk, N) tile); ranks are bounded by N, so i16 halves
+            # the bytes whenever N < 2^15 (exact — integer math).
+            rank_t = jnp.int16 if n < 2**15 else jnp.int32
+            rank = jnp.cumsum(in_ball.astype(rank_t), axis=-1)
+            ks = jnp.arange(1, nsample + 1, dtype=rank_t)
             # unrolled vectorized binary search: searchsorted-left of k
             # in each row's rank (jnp.searchsorted vmaps poorly here)
             rows = rank.shape[0]
