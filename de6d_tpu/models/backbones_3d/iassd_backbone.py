@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ...ops import sampling
 from ...registry import BACKBONES_3D
+from ..model_utils.dtype_utils import compute_dtype
 from ..model_utils.mlp import SharedMLP
 from .pointnet2_modules import PointnetSAModuleFSMSG
 
@@ -187,6 +188,7 @@ class IASSD_Backbone(nn.Module):
                     aggregation_mlp=agg,
                     confidence_mlp=conf,
                     confidence_num_class=self.num_class,
+                    dtype=compute_dtype(self.model_cfg),
                 ))
             elif ltype == "Vote_Layer":
                 modules.append(VoteLayer(
@@ -308,6 +310,6 @@ class IASSD_Backbone(nn.Module):
         batch_dict["sa_ins_preds"] = sa_ins_preds
         # standard point-head interface
         batch_dict["point_coords"] = centers
-        batch_dict["point_features"] = enc_feats[-1]
+        batch_dict["point_features"] = enc_feats[-1].astype(jnp.float32)
         batch_dict["point_valid"] = enc_valid[-1]
         return batch_dict

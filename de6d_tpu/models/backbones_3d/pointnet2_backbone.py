@@ -22,6 +22,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ...registry import BACKBONES_3D
+from ..model_utils.dtype_utils import compute_dtype
 from .pointnet2_modules import (
     PointnetFPModule, PointnetSAModuleFSMSG,
 )
@@ -89,11 +90,12 @@ class _PointNet2Base(nn.Module):
     grid_size: tuple = (0, 0, 0)
 
     def setup(self):
+        dt = compute_dtype(self.model_cfg)
         layers, skip_channels, channel_out = _build_sa_stack(
             self.model_cfg, self.input_channels
         )
         self.sa_modules = [
-            PointnetSAModuleFSMSG(**kw) for kw in layers
+            PointnetSAModuleFSMSG(dtype=dt, **kw) for kw in layers
         ]
         self._skip_channels = skip_channels
         self.num_point_features = channel_out
@@ -103,7 +105,7 @@ class _PointNet2Base(nn.Module):
             # flax Dense infers input width, so only the output channel
             # lists matter (reference prepends the concat width)
             self.fp_modules = [
-                PointnetFPModule(mlp=tuple(m)) for m in fp_mlps
+                PointnetFPModule(mlp=tuple(m), dtype=dt) for m in fp_mlps
             ]
             self.num_point_features = fp_mlps[0][-1]
         else:
@@ -145,7 +147,8 @@ class _PointNet2Base(nn.Module):
             out = -1
 
         batch_dict["point_coords"] = l_xyz[out]
-        batch_dict["point_features"] = l_features[out]
+        # heads consume fp32 features; SA/FP compute may have run bf16
+        batch_dict["point_features"] = l_features[out].astype(jnp.float32)
         batch_dict["point_valid"] = l_valid[out]
         batch_dict["point_scores"] = l_scores[-1]
         return batch_dict

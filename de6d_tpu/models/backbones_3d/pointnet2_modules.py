@@ -48,7 +48,9 @@ def run_sampling(
     if method == "d-fps":
         idx = sampling.farthest_point_sample(xyz_s, npoint, valid_s)
     elif method == "f-fps":
-        feat_s = features[:, lo:hi]
+        # fp32 distance keys regardless of compute dtype (FPS argmax
+        # tie order must not depend on COMPUTE_DTYPE)
+        feat_s = features[:, lo:hi].astype(jnp.float32)
         dm = sampling.calc_dist_matrix_for_sampling(
             xyz_s, feat_s, weight_gamma
         )
@@ -124,6 +126,11 @@ class PointnetSAModuleFSMSG(nn.Module):
     confidence_num_class: int = 0  # >0: per-class logits (IA-SSD)
     use_bn: bool = True
     pool_method: str = "max_pool"
+    # compute dtype for the grouped/aggregation/confidence MLPs (bf16
+    # MXU path). Geometry — sampling, ball query, grouped-xyz offsets —
+    # always stays fp32: bf16 absolute coords only resolve ~0.25 m at
+    # KITTI ranges. Scores returned to callers are cast back to fp32.
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, xyz, features=None, valid=None, scores=None,
@@ -170,7 +177,9 @@ class PointnetSAModuleFSMSG(nn.Module):
                 radius_in=float(r_in), use_xyz=self.use_xyz,
             )  # (B, M, ns, C_in)
             prev_radius = radius
-            out = SharedMLP(tuple(mlp), use_bn=self.use_bn)(grouped, train)
+            out = SharedMLP(
+                tuple(mlp), use_bn=self.use_bn, dtype=self.dtype
+            )(grouped, train)
             mask = (cnt > 0)[..., None, None]
             out = jnp.where(mask, out, 0.0)
             if self.pool_method == "max_pool":
@@ -184,19 +193,21 @@ class PointnetSAModuleFSMSG(nn.Module):
             pooled_list.append(pooled)
 
         if old_features is not None:
-            pooled_list.append(old_features)
+            pooled_list.append(old_features.astype(pooled_list[0].dtype))
         new_features = jnp.concatenate(pooled_list, axis=-1)
 
         if self.aggregation_mlp:
             new_features = SharedMLP(
-                tuple(self.aggregation_mlp), use_bn=self.use_bn
+                tuple(self.aggregation_mlp), use_bn=self.use_bn,
+                dtype=self.dtype,
             )(new_features, train)
 
         new_scores = None
         if self.confidence_mlp:
-            h = SharedMLP(tuple(self.confidence_mlp), use_bn=self.use_bn)(
-                new_features, train
-            )
+            h = SharedMLP(
+                tuple(self.confidence_mlp), use_bn=self.use_bn,
+                dtype=self.dtype,
+            )(new_features, train)
             if self.confidence_num_class > 0:
                 # per-class logits (IA-SSD ctr_aware sampling + the
                 # instance-aware SA losses); 0 = legacy scalar scores
@@ -227,6 +238,7 @@ class PointnetFPModule(nn.Module):
 
     mlp: tuple
     use_bn: bool = True
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, unknown, known, unknown_feats, known_feats,
@@ -238,10 +250,11 @@ class PointnetFPModule(nn.Module):
         interpolated = bq.three_interpolate(known_feats, idx, weight)
         if unknown_feats is not None:
             new_features = jnp.concatenate(
-                [interpolated, unknown_feats], axis=-1
+                [interpolated.astype(self.dtype),
+                 unknown_feats.astype(self.dtype)], axis=-1
             )
         else:
             new_features = interpolated
-        return SharedMLP(tuple(self.mlp), use_bn=self.use_bn)(
-            new_features, train
-        )
+        return SharedMLP(
+            tuple(self.mlp), use_bn=self.use_bn, dtype=self.dtype
+        )(new_features, train)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ...ops import geometry
 from ...registry import POINT_HEADS
 from ...utils import box_coder_utils, loss_utils
+from ..model_utils.dtype_utils import compute_dtype
 from ..model_utils.mlp import FCStack
 from .point_head_box import assign_point_targets
 
@@ -68,18 +69,20 @@ class PointHeadBox6D(nn.Module):
             tcfg["BOX_CODER"], **dict(tcfg.get("BOX_CODER_CONFIG", {}))
         )
         use_bn = self.model_cfg.get("USE_BN", True)
+        dt = compute_dtype(self.model_cfg)
         self.cls_layers = FCStack(
-            tuple(self.model_cfg["CLS_FC"]), self.num_class, use_bn=use_bn
+            tuple(self.model_cfg["CLS_FC"]), self.num_class, use_bn=use_bn,
+            dtype=dt,
         )
         self.box_layers = FCStack(
             tuple(self.model_cfg["REG_FC"]), self.box_coder.code_size,
-            use_bn=use_bn,
+            use_bn=use_bn, dtype=dt,
         )
         self.rot_cls_layers = FCStack(
-            tuple(self.model_cfg["ROT_CLS_FC"]), 2, use_bn=use_bn
+            tuple(self.model_cfg["ROT_CLS_FC"]), 2, use_bn=use_bn, dtype=dt
         )
         self.rot_reg_layers = FCStack(
-            tuple(self.model_cfg["ROT_REG_FC"]), 3, use_bn=use_bn
+            tuple(self.model_cfg["ROT_REG_FC"]), 3, use_bn=use_bn, dtype=dt
         )
 
     def __call__(self, batch_dict, train: bool = False):

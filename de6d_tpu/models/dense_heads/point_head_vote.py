@@ -38,6 +38,7 @@ from ...ops import geometry, iou3d
 from ...registry import POINT_HEADS
 from ...utils import box_coder_utils, loss_utils
 from ..backbones_3d.pointnet2_modules import PointnetSAModuleFSMSG
+from ..model_utils.dtype_utils import compute_dtype
 from ..model_utils.mlp import FCStack, SharedMLP
 
 
@@ -202,7 +203,10 @@ class _PointHeadVoteBase(nn.Module):
             target_cfg["BOX_CODER"], **dict(target_cfg.get("BOX_CODER_CONFIG", {}))
         )
         use_bn = self.model_cfg.get("USE_BN", True)
+        dt = compute_dtype(self.model_cfg)
         vote_cfg = self.model_cfg["VOTE_CONFIG"]
+        # vote layers stay fp32: their output is geometry (3-D center
+        # offsets); bf16 would quantize vote coords to ~centimeters
         self.vote_layers = FCStack(
             tuple(vote_cfg["VOTE_FC"]), 3, use_bn=use_bn
         )
@@ -215,16 +219,18 @@ class _PointHeadVoteBase(nn.Module):
             mlps=tuple(tuple(m) for m in sa_cfg["MLPS"]),
             use_xyz=True,
             use_bn=use_bn,
+            dtype=dt,
         )
         self.shared_fc = SharedMLP(
-            tuple(self.model_cfg["SHARED_FC"]), use_bn=use_bn
+            tuple(self.model_cfg["SHARED_FC"]), use_bn=use_bn, dtype=dt
         )
         self.cls_layers = FCStack(
-            tuple(self.model_cfg["CLS_FC"]), self.num_class, use_bn=use_bn
+            tuple(self.model_cfg["CLS_FC"]), self.num_class, use_bn=use_bn,
+            dtype=dt,
         )
         self.reg_layers = FCStack(
             tuple(self.model_cfg["REG_FC"]), self.box_coder.code_size,
-            use_bn=use_bn,
+            use_bn=use_bn, dtype=dt,
         )
 
     def __call__(self, batch_dict, train: bool = False):
