@@ -110,13 +110,15 @@ def run_sampling_iassd(method, xyz, features, cls_logits, valid,
     elif method in ("D-FPS", "DFS", "d-fps"):
         idx = sampling.farthest_point_sample(xyz_s, npoint, valid_s)
     elif method in ("F-FPS", "FFS", "f-fps"):
+        # fp32 keys: FPS argmax order must not depend on COMPUTE_DTYPE
+        # (same invariant as pointnet2_modules.run_sampling)
         dm = sampling.calc_dist_matrix_for_sampling(
-            xyz_s, features[:, lo:hi]
+            xyz_s, features[:, lo:hi].astype(jnp.float32)
         )
         idx = sampling.matrix_farthest_point_sample(dm, npoint, valid_s)
     elif method == "FS":
         dm = sampling.calc_dist_matrix_for_sampling(
-            xyz_s, features[:, lo:hi]
+            xyz_s, features[:, lo:hi].astype(jnp.float32)
         )
         i1 = sampling.matrix_farthest_point_sample(dm, npoint, valid_s)
         i2 = sampling.farthest_point_sample(xyz_s, npoint, valid_s)
@@ -303,7 +305,8 @@ class IASSD_Backbone(nn.Module):
         batch_dict["centers"] = centers
         batch_dict["centers_origin"] = centers_origin
         batch_dict["ctr_offsets"] = ctr_offsets
-        batch_dict["centers_features"] = enc_feats[-1]
+        # fp32 at the backbone boundary: heads consume fp32 features
+        batch_dict["centers_features"] = enc_feats[-1].astype(jnp.float32)
         batch_dict["centers_valid"] = enc_valid[-1]
         batch_dict["encoder_coords"] = enc_xyz
         batch_dict["encoder_valid"] = enc_valid

@@ -188,8 +188,11 @@ class PointnetSAModuleFSMSG(nn.Module):
                 )
                 pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
             else:
-                denom = jnp.maximum(cnt[..., None], 1).astype(out.dtype)
-                pooled = jnp.sum(out, axis=2) / denom
+                # accumulate in fp32: summing nsample bf16 activations
+                # loses precision the max_pool branch doesn't
+                denom = jnp.maximum(cnt[..., None], 1).astype(jnp.float32)
+                pooled = (jnp.sum(out.astype(jnp.float32), axis=2)
+                          / denom).astype(out.dtype)
             pooled_list.append(pooled)
 
         if old_features is not None:

@@ -26,6 +26,14 @@ _DTYPES = {
 
 
 def compute_dtype(model_cfg) -> jnp.dtype:
-    """Compute dtype for a module-slot cfg (default fp32)."""
+    """Compute dtype for a module-slot cfg (default fp32).
+
+    Unknown names raise instead of silently training fp32 — a typo'd
+    COMPUTE_DTYPE should fail loudly at build time.
+    """
     name = str(model_cfg.get("_COMPUTE_DTYPE", "float32")).lower()
-    return _DTYPES.get(name, jnp.float32)
+    if name not in _DTYPES:
+        raise ValueError(
+            f"Unknown COMPUTE_DTYPE {name!r}; expected one of {sorted(_DTYPES)}"
+        )
+    return _DTYPES[name]

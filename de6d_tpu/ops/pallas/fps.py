@@ -280,7 +280,7 @@ def matrix_fps_pallas(dist_matrix, valid_mask, npoint: int,
             # via program_id + dynamic DMA instead
             pl.BlockSpec(
                 (b_pad, npad, npad), lambda g: (0, 0, 0),
-                memory_space=pltpu.ANY,
+                memory_space=pl.ANY,
             ),
         ],
         out_specs=pl.BlockSpec(

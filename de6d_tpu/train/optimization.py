@@ -42,6 +42,26 @@ def onecycle_momentum_schedule(total_steps: int, pct_start: float,
     return sched
 
 
+def _maybe_warmup(base_sched, opt_cfg, lr: float, steps_per_epoch: int):
+    """CosineWarmupLR (reference learning_schedules_fastai.py:84-94,
+    wired at optimization/__init__.py:57-61): when LR_WARMUP is set on
+    a non-onecycle optimizer, the first WARMUP_EPOCH epochs ramp the LR
+    along a cosine from eta_min = LR/DIV_FACTOR up to the base
+    schedule's value; after the warmup window the base schedule takes
+    over unchanged."""
+    if not opt_cfg.get("LR_WARMUP", False):
+        return base_sched
+    warmup_steps = max(int(opt_cfg.get("WARMUP_EPOCH", 1)) * steps_per_epoch, 1)
+    eta_min = lr / float(opt_cfg.get("DIV_FACTOR", 10.0))
+
+    def sched(step):
+        t = jnp.clip(step / warmup_steps, 0.0, 1.0)
+        warm = eta_min + (base_sched(step) - eta_min) * 0.5 * (1 - jnp.cos(jnp.pi * t))
+        return jnp.where(step < warmup_steps, warm, base_sched(step))
+
+    return sched
+
+
 def _decay_mask(params):
     """True for params that receive weight decay: exclude biases and
     all 1-D params (BN scale/bias) — the fastai wrapper's BN-group
@@ -90,9 +110,11 @@ def build_optimizer_and_schedule(opt_cfg, params, steps_per_epoch: int):
                 f = jnp.where(step >= d, f * gamma, f)
             return jnp.maximum(lr * f, lr_clip)
 
+        lr_sched = _maybe_warmup(lr_sched, opt_cfg, lr, steps_per_epoch)
         opt = optax.adamw(lr_sched, weight_decay=wd, mask=_decay_mask(params))
     elif name == "sgd":
-        lr_sched = lambda step: jnp.asarray(lr)  # noqa: E731
+        lr_sched = _maybe_warmup(lambda step: jnp.asarray(lr), opt_cfg, lr,
+                                 steps_per_epoch)
         opt = optax.chain(
             optax.sgd(lr_sched, momentum=float(opt_cfg.get("MOMENTUM", 0.9))),
             optax.add_decayed_weights(wd, mask=_decay_mask(params)),

@@ -37,6 +37,37 @@ def test_onecycle_schedules():
     assert float(jnp.abs(updates["b"]).sum()) == 0
 
 
+def test_cosine_warmup_schedule():
+    """CosineWarmupLR shape (ref learning_schedules_fastai.py:84-94):
+    cosine ramp LR/DIV → LR over WARMUP_EPOCH epochs, then the base
+    decay-step schedule unchanged."""
+    opt_cfg = {
+        "OPTIMIZER": "adam", "LR": 0.01, "WEIGHT_DECAY": 0.01,
+        "DECAY_STEP_LIST": [5, 8], "LR_DECAY": 0.1, "LR_CLIP": 1e-7,
+        "NUM_EPOCHS": 10, "LR_WARMUP": True, "WARMUP_EPOCH": 2,
+        "DIV_FACTOR": 10,
+    }
+    params = {"w": jnp.ones((4, 4))}
+    _, lr_sched = build_optimizer_and_schedule(opt_cfg, params, 100)
+    # step 0: eta_min = LR/DIV
+    assert abs(float(lr_sched(0)) - 0.001) < 1e-8
+    # midpoint of warmup: halfway up the cosine
+    mid = float(lr_sched(100))
+    assert abs(mid - (0.001 + (0.01 - 0.001) * 0.5)) < 1e-6
+    # warmup is monotone increasing
+    vals = [float(lr_sched(s)) for s in range(0, 200, 20)]
+    assert all(b >= a for a, b in zip(vals, vals[1:]))
+    # after warmup: base schedule (plateau at LR until first decay)
+    assert abs(float(lr_sched(300)) - 0.01) < 1e-8
+    # decays apply at epoch boundaries 5 and 8
+    assert abs(float(lr_sched(600)) - 0.001) < 1e-8
+    assert abs(float(lr_sched(900)) - 0.0001) < 1e-9
+    # no warmup flag → plain schedule from step 0
+    opt_cfg2 = dict(opt_cfg, LR_WARMUP=False)
+    _, lr2 = build_optimizer_and_schedule(opt_cfg2, params, 100)
+    assert abs(float(lr2(0)) - 0.01) < 1e-8
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import optax
 
