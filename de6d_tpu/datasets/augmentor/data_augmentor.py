@@ -80,6 +80,47 @@ class DataAugmentor:
 
         return _apply
 
+    def random_image_flip(self, config=None):
+        """Horizontal image-space flip for camera models (CaDDN).
+
+        Parity: reference data_augmentor.py:82-99 +
+        augmentor_utils.random_image_flip_horizontal:98-122 — 50%
+        chance; flips image + depth map left-right and mirrors the 3D
+        centroids in IMAGE space (project → u := W-u → unproject at the
+        same depth), yaw := -yaw. Deviation (documented): we also
+        mirror gt_boxes2d (u range swap) — the reference leaves them
+        stale, which mis-weights its depth-loss foreground balancer on
+        flipped frames.
+        """
+
+        def _apply(data_dict, rng, config=config):
+            for axis in config["ALONG_AXIS_LIST"]:
+                assert axis == "horizontal"
+            if not rng.choice([False, True]):
+                return data_dict
+            image = data_dict["images"]
+            calib = data_dict["calib"]
+            w = image.shape[1]
+            data_dict["images"] = np.fliplr(image)
+            data_dict["depth_maps"] = np.fliplr(data_dict["depth_maps"])
+            gt = data_dict["gt_boxes"].copy()
+            if gt.shape[0]:
+                img_pts, img_depth = calib.lidar_to_img(gt[:, :3])
+                img_pts[:, 0] = w - img_pts[:, 0]
+                pts_rect = calib.img_to_rect(
+                    u=img_pts[:, 0], v=img_pts[:, 1], depth_rect=img_depth
+                )
+                gt[:, :3] = calib.rect_to_lidar(pts_rect)
+                gt[:, 6] = -gt[:, 6]
+            data_dict["gt_boxes"] = gt
+            if "gt_boxes2d" in data_dict and len(data_dict["gt_boxes2d"]):
+                b2d = data_dict["gt_boxes2d"].copy()
+                b2d[:, [0, 2]] = w - b2d[:, [2, 0]]
+                data_dict["gt_boxes2d"] = b2d
+            return data_dict
+
+        return _apply
+
     def random_world_rotation(self, config=None):
         def _apply(data_dict, rng, config=config):
             rot_range = config["WORLD_ROT_ANGLE"]

@@ -104,6 +104,8 @@ class DatasetTemplate:
             )
             data_dict["gt_boxes"] = data_dict["gt_boxes"][gt_boxes_mask]
             data_dict["gt_names"] = data_dict["gt_names"][gt_boxes_mask]
+            if "gt_boxes2d" in data_dict:  # keep 2D boxes aligned (CaDDN)
+                data_dict["gt_boxes2d"] = data_dict["gt_boxes2d"][gt_boxes_mask]
             if self.data_augmentor is not None:
                 data_dict = self.data_augmentor.forward(data_dict, rng)
             if data_dict["gt_boxes"].shape[0] == 0:
@@ -115,6 +117,8 @@ class DatasetTemplate:
             )
             data_dict["gt_boxes"] = data_dict["gt_boxes"][selected]
             data_dict["gt_names"] = data_dict["gt_names"][selected]
+            if "gt_boxes2d" in data_dict:
+                data_dict["gt_boxes2d"] = data_dict["gt_boxes2d"][selected]
             gt_classes = np.array(
                 [self.class_names.index(n) + 1 for n in data_dict["gt_names"]],
                 dtype=np.float32,
@@ -172,9 +176,37 @@ class DatasetTemplate:
                         )
                     out[i, : g.shape[0]] = g
                 batch["gt_boxes"] = out
+            elif key in ("images", "depth_maps"):
+                # pad bottom/right to the batch-max H/W (reference
+                # collate_batch pads images with zeros the same way;
+                # real-KITTI frames differ by a few pixels)
+                arrs = [np.asarray(d[key], np.float32) for d in batch_list]
+                hmax = max(a.shape[0] for a in arrs)
+                wmax = max(a.shape[1] for a in arrs)
+                padded = [
+                    np.pad(
+                        a,
+                        ((0, hmax - a.shape[0]), (0, wmax - a.shape[1]))
+                        + ((0, 0),) * (a.ndim - 2),
+                    )
+                    for a in arrs
+                ]
+                batch[key] = np.stack(padded)
+            elif key == "gt_boxes2d":
+                out = np.zeros((b, self.max_gt, 4), np.float32)
+                for i, d in enumerate(batch_list):
+                    g = d["gt_boxes2d"][: self.max_gt]
+                    out[i, : g.shape[0]] = g
+                batch[key] = out
             elif key in ("num_points",):
                 continue
-            elif key in ("frame_id", "calib", "image_shape", "metadata"):
+            elif key == "image_shape":
+                # (B, 2) int32 — the camera stack (CaDDN frustum grid)
+                # consumes it on device; host eval indexes rows
+                batch[key] = np.stack(
+                    [np.asarray(d[key], np.int32) for d in batch_list]
+                )
+            elif key in ("frame_id", "calib", "metadata"):
                 batch[key] = [d[key] for d in batch_list]
             else:
                 try:

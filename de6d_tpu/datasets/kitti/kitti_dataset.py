@@ -84,6 +84,53 @@ class KittiDataset(DatasetTemplate):
             plane = -plane
         return plane / np.linalg.norm(plane[0:3])
 
+    def get_image(self, idx, img_shape):
+        """RGB image normalized to [0, 1] float32 (reference
+        kitti_dataset.py get_image: imread/255). The synthetic tree has
+        no camera renders — fall back to zeros at the calib image shape
+        so the CaDDN pipeline stays drivable end to end."""
+        f = self.root_split_path / "image_2" / f"{idx}.png"
+        if f.exists():
+            from PIL import Image
+
+            img = np.asarray(Image.open(f).convert("RGB"), np.float32)
+            return img / 255.0
+        return np.zeros((int(img_shape[0]), int(img_shape[1]), 3), np.float32)
+
+    def get_depth_map(self, idx, calib, img_shape, points):
+        """Sparse LiDAR depth map (reference kitti_dataset.py
+        get_depth_map reads depth_2/<idx>.png / 256). When no depth png
+        exists we build it the way the KITTI depth maps are built in
+        the first place: project the scan through the calib and
+        z-buffer the per-pixel minimum camera depth."""
+        f = self.root_split_path / "depth_2" / f"{idx}.png"
+        if f.exists():
+            from PIL import Image
+
+            return np.asarray(Image.open(f), np.float32) / 256.0
+        h, w = int(img_shape[0]), int(img_shape[1])
+        depth = np.full((h, w), 0.0, np.float32)
+        pts_rect = calib.lidar_to_rect(points[:, :3])
+        pts_img, pts_depth = calib.rect_to_img(pts_rect)
+        u = np.round(pts_img[:, 0]).astype(np.int64)
+        v = np.round(pts_img[:, 1]).astype(np.int64)
+        ok = (u >= 0) & (u < w) & (v >= 0) & (v < h) & (pts_depth > 0)
+        u, v, d = u[ok], v[ok], pts_depth[ok]
+        buf = np.full(h * w, np.inf, np.float32)
+        np.minimum.at(buf, v * w + u, d)
+        hit = np.isfinite(buf)
+        depth.reshape(-1)[hit] = buf[hit]
+        return depth
+
+    @staticmethod
+    def calib_to_matricies(calib):
+        """(trans_lidar_to_cam (4,4), trans_cam_to_img (3,4)) — parity:
+        reference kitti_utils.calib_to_matricies."""
+        v2c = np.vstack([calib.V2C, [0, 0, 0, 1]]).astype(np.float32)
+        r0 = np.eye(4, dtype=np.float32)
+        r0[:3, :3] = calib.R0
+        return r0 @ v2c, calib.P2.astype(np.float32)
+
     def get_image_shape(self, idx):
         import struct
 
@@ -301,10 +348,27 @@ class KittiDataset(DatasetTemplate):
             "calib": calib,
             "image_shape": img_shape,
         }
+        get_item_list = self.dataset_cfg.get("GET_ITEM_LIST", ["points"])
+        # camera items for CaDDN (reference kitti_dataset.py
+        # get_item_list dispatch; "calib_matricies" spelling kept for
+        # config parity with the reference)
+        if "images" in get_item_list:
+            input_dict["images"] = self.get_image(sample_idx, img_shape)
+        if "depth_maps" in get_item_list:
+            input_dict["depth_maps"] = self.get_depth_map(
+                sample_idx, calib, img_shape, points
+            )
+        if "calib_matricies" in get_item_list:
+            (
+                input_dict["trans_lidar_to_cam"],
+                input_dict["trans_cam_to_img"],
+            ) = self.calib_to_matricies(calib)
         if "annos" in info:
             annos = drop_info_with_name(info["annos"], name="DontCare")
             input_dict["gt_names"] = annos["name"]
             input_dict["gt_boxes"] = annos["gt_boxes_lidar"]
+            if "gt_boxes2d" in get_item_list:
+                input_dict["gt_boxes2d"] = annos["bbox"].astype(np.float32)
             if "road_plane" in self.dataset_cfg.get("GET_ITEM_LIST", []):
                 plane = self.get_road_plane(sample_idx)
                 if plane is not None:

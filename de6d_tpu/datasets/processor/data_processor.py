@@ -166,6 +166,30 @@ class DataProcessor:
             return partial(self.calculate_grid_size, config=config)
         return data_dict
 
+    def downsample_depth_map(self, data_dict=None, config=None):
+        """Block-mean downsample of the LiDAR depth map (CaDDN input).
+
+        Parity: reference data_processor.py:188-197
+        (skimage.transform.downscale_local_mean) — zero-pads H/W up to
+        a multiple of the factor and averages over FULL blocks,
+        including the zero padding; reproduced here with a reshape so
+        the host pipeline stays numpy-only.
+        """
+        if data_dict is None:
+            self.depth_downsample_factor = int(config["DOWNSAMPLE_FACTOR"])
+            return partial(self.downsample_depth_map, config=config)
+        f = self.depth_downsample_factor
+        depth = np.asarray(data_dict["depth_maps"], np.float32)
+        h, w = depth.shape
+        ph, pw = (-h) % f, (-w) % f
+        if ph or pw:
+            depth = np.pad(depth, ((0, ph), (0, pw)))
+        hh, ww = depth.shape
+        data_dict["depth_maps"] = depth.reshape(
+            hh // f, f, ww // f, f
+        ).mean(axis=(1, 3))
+        return data_dict
+
     def forward(self, data_dict):
         for proc in self.data_processor_queue:
             data_dict = proc(data_dict=data_dict)

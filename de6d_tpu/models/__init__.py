@@ -23,6 +23,23 @@ _MODULE_SLOTS = (
 )
 
 
+
+# batch keys that ship to the device (everything else stays host-side:
+# frame_id, calib objects, image_shape lists). load_data_to_gpu analog
+# (reference models/__init__.py:22-42).
+DEVICE_BATCH_KEYS = (
+    "points", "points_mask", "gt_boxes", "point_voxel_idx",
+    # CaDDN camera stack
+    "images", "depth_maps", "trans_lidar_to_cam", "trans_cam_to_img",
+    "gt_boxes2d", "image_shape",
+)
+
+
+def device_batch(batch):
+    """Subset of a collated batch that is device-shippable."""
+    return {k: batch[k] for k in DEVICE_BATCH_KEYS if k in batch}
+
+
 def build_network(model_cfg, num_class, dataset):
     # thread the model-level compute dtype into every module slot while
     # the cfg is still a mutable dict (flax freezes module attributes —

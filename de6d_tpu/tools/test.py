@@ -62,8 +62,8 @@ def _setup(args, logger):
     sample_batch = test_set.collate_batch(
         [test_set.getitem_prepared(0)]
     )
-    device_keys = ("points", "points_mask", "gt_boxes")
-    sample = {k: sample_batch[k] for k in device_keys if k in sample_batch}
+    from de6d_tpu.models import device_batch
+    sample = device_batch(sample_batch)
     variables = jax.jit(
         lambda rng, b: model.init(rng, b, train=False)
     )(jax.random.PRNGKey(0), dict(sample))

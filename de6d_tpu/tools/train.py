@@ -104,8 +104,8 @@ def main():
     )
 
     sample = next(iter(train_loader))
-    device_keys = ("points", "points_mask", "gt_boxes")
-    sample = {k: sample[k] for k in device_keys if k in sample}
+    from de6d_tpu.models import device_batch
+    sample = device_batch(sample)
 
     optimizer, lr_schedule = None, None
 

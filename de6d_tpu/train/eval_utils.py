@@ -60,9 +60,9 @@ def eval_one_epoch(model, params, batch_stats, loader, dataset, model_cfg,
             output_path = result_dir / "final_result" / "data"
             output_path.mkdir(parents=True, exist_ok=True)
 
-    device_keys = ("points", "points_mask", "gt_boxes")
+    from ..models import device_batch as _device_batch
     for batch in loader:
-        dev_batch = {k: batch[k] for k in device_keys if k in batch}
+        dev_batch = _device_batch(batch)
         post, recalls = step(params, batch_stats, dev_batch)
         post = jax.tree_util.tree_map(np.asarray, post)
         for k, v in recalls.items():

@@ -48,7 +48,7 @@ def train_model(
     data_time = AverageMeter()
     step_time = AverageMeter()
 
-    device_keys = ("points", "points_mask", "gt_boxes", "point_voxel_idx")
+    from ..models import device_batch as _device_batch
     it = int(state.step)
     profiling = False
     prev_loss = None  # 1-deep pipeline: device runs step k while the
@@ -63,9 +63,7 @@ def train_model(
                     jax.profiler.start_trace(str(profile_dir))
                     profiling = True
                 t_data = time.perf_counter() - t_end
-                dev_batch = shard_batch(
-                    {k: batch[k] for k in device_keys if k in batch}, mesh
-                )
+                dev_batch = shard_batch(_device_batch(batch), mesh)
                 state, metrics = train_step(state, dev_batch)
                 if prev_loss is not None:
                     prev_loss.block_until_ready()
