@@ -26,8 +26,10 @@ from ...utils import box_coder_utils, loss_utils
 def proposal_layer(batch_dict, nms_cfg, num_rois: int):
     """First-stage boxes → (B, num_rois) proposals via NMS
     (reference RoIHeadTemplate.proposal_layer)."""
-    cls_preds = batch_dict["batch_cls_preds"]  # (B, N, nc)
-    box_preds = batch_dict["batch_box_preds"]  # (B, N, 7+)
+    # proposals are constants w.r.t. the second stage (reference
+    # decorates proposal_layer with torch.no_grad, roi_head_template.py)
+    cls_preds = jax.lax.stop_gradient(batch_dict["batch_cls_preds"])
+    box_preds = jax.lax.stop_gradient(batch_dict["batch_box_preds"])
     normalized = batch_dict.get("cls_preds_normalized", False)
     scores_all = cls_preds if normalized else jax.nn.sigmoid(cls_preds)
 

@@ -105,7 +105,12 @@ def ball_query(
             rows = rank.shape[0]
             lo = jnp.zeros((rows, nsample), jnp.int32)
             hi = jnp.full((rows, nsample), n, jnp.int32)
-            for _ in range(max(1, (n - 1).bit_length())):
+            # iterations to converge from interval size n:
+            # T(s) = 1 + T(floor(s/2)) => T(n) = n.bit_length().
+            # ((n-1).bit_length() is one short when n is a power of
+            # two — the terminal lo cell went untested and first-hits
+            # landing there came back off by one.)
+            for _ in range(max(1, n.bit_length())):
                 mid = (lo + hi) >> 1
                 rv = jnp.take_along_axis(rank, mid, axis=-1)
                 go_right = rv < ks[None, :]

@@ -220,6 +220,13 @@ def nms(
              the top candidate index; consume with ``count``),
         count: () int32 number of valid selections.
     """
+    # NMS returns integer selections — non-differentiable by nature
+    # (the reference calls it inside torch.no_grad / on detached
+    # tensors). stop_gradient here keeps the Pallas mask kernel out of
+    # JVP tracing when a caller (e.g. proposal_layer) sits inside a
+    # differentiated train step.
+    boxes = jax.lax.stop_gradient(boxes)
+    scores = jax.lax.stop_gradient(scores)
     n = boxes.shape[0]
     pre = min(pre_maxsize, n)
     if valid_mask is not None:
@@ -260,6 +267,8 @@ def nms_candidates(
              (padded with 0; consume with ``count``),
         count: () int32 number of valid selections.
     """
+    cand = jax.lax.stop_gradient(cand)
+    top_scores = jax.lax.stop_gradient(top_scores)
     pre = cand.shape[0]
     cand_valid = top_scores > NEG_INF / 2
     count_pre = jnp.sum(cand_valid.astype(jnp.int32))

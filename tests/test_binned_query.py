@@ -1,0 +1,156 @@
+"""Binned ball query must match the brute-force oracle bit-for-bit on
+boundary-free inputs.
+
+The oracle is ops.ball_query.ball_query (itself pinned against the
+reference CUDA semantics: first nsample in-ball points in original
+point order, first-hit padding, zero fill on empty).
+
+Boundary caveat (same class as the FPS kernels' on-device functional
+parity): both paths compute fp32 d^2 = |c|^2 + |p|^2 - 2 c.p, but XLA
+fuses the combine arithmetic differently in the two programs (FMA
+forms), so points sitting within ~1e-3 of a radius boundary can flip
+membership — a compiler-rounding artifact, not a semantic difference.
+The tests therefore scrub inputs so no (center, point) distance lies
+within MARGIN of any radius (verified in float64), where parity must
+then hold EXACTLY, selection order and padding included.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from de6d_tpu.ops import ball_query as bq
+from de6d_tpu.ops.binned import binned_msg_query
+
+PC_RANGE = (0.0, -40.0, -3.0, 70.4, 40.0, 1.0)
+MARGIN = 2e-2  # distance-space guard band around every radius
+
+
+def _random_cloud(rng, b, n, clustered=False, out_of_range=False):
+    pts = np.stack(
+        [
+            rng.uniform(0, 70.4, (b, n)),
+            rng.uniform(-40, 40, (b, n)),
+            rng.uniform(-3, 1, (b, n)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    if clustered:
+        k = n // 2
+        centers = rng.uniform(5, 40, (b, 8, 3)).astype(np.float32)
+        which = rng.randint(0, 8, (b, k))
+        for i in range(b):
+            pts[i, :k] = centers[i, which[i]] + rng.normal(
+                0, 0.3, (k, 3)
+            ).astype(np.float32)
+    if out_of_range:
+        j = n // 8
+        pts[:, :j, 0] += 80.0  # beyond x_hi
+        pts[:, j : 2 * j, 1] -= 90.0  # beyond y_lo
+    return pts
+
+
+def _scrub_boundaries(pts, ctrs, radii):
+    """Push points off every radius boundary (float64-verified).
+
+    Random jitter (growing amplitude) instead of a deterministic
+    radial nudge: nudging an offender off one center's shell can land
+    it on another's and oscillate; a random draw re-hits the (measure
+    ~0, MARGIN-thin) union of shells with vanishing probability.
+    """
+    radii = [r for r in radii if r > 0]
+    jrng = np.random.RandomState(0xC0FFEE)
+    for bi in range(pts.shape[0]):
+        p = pts[bi].astype(np.float64)
+        c = ctrs[bi].astype(np.float64)
+        for it in range(60):
+            d = np.linalg.norm(p[None, :, :] - c[:, None, :], axis=-1)
+            bad = np.zeros(p.shape[0], bool)
+            for r in radii:
+                bad |= (np.abs(d - r) < MARGIN).any(axis=0)
+            if not bad.any():
+                break
+            amp = 3 * MARGIN * (1 + it // 5)
+            p[bad] += jrng.uniform(-amp, amp, (int(bad.sum()), 3))
+        else:
+            raise AssertionError("could not scrub boundaries")
+        pts[bi] = p.astype(np.float32)
+    return pts
+
+
+def _check(pts, ctrs, radii, nsamples, r_in=None, valid=None,
+           cvalid=None, cap=256):
+    r_in = r_in or (0.0,) * len(radii)
+    pts = _scrub_boundaries(pts, ctrs, list(radii) + list(r_in))
+    res, overflow = binned_msg_query(
+        jnp.asarray(pts), jnp.asarray(ctrs), tuple(radii), tuple(nsamples),
+        valid_mask=None if valid is None else jnp.asarray(valid),
+        new_valid_mask=None if cvalid is None else jnp.asarray(cvalid),
+        radius_in_list=tuple(r_in), pc_range=PC_RANGE, cell_cap=cap,
+    )
+    assert int(np.max(np.asarray(overflow))) == 0, "cap overflow"
+    for (idx, cnt), r, ri, ns in zip(res, radii, r_in, nsamples):
+        ref_idx, ref_cnt = bq.ball_query(
+            jnp.asarray(pts), jnp.asarray(ctrs), float(r), int(ns),
+            valid_mask=None if valid is None else jnp.asarray(valid),
+            new_valid_mask=None if cvalid is None else jnp.asarray(cvalid),
+            radius_in=float(ri),
+        )
+        np.testing.assert_array_equal(np.asarray(cnt), np.asarray(ref_cnt))
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+@pytest.mark.parametrize("clustered", [False, True])
+def test_parity_msg_scales(clustered):
+    rng = np.random.RandomState(0 if not clustered else 1)
+    pts = _random_cloud(rng, 2, 2048, clustered=clustered)
+    ctrs = pts[:, rng.choice(2048, 256, replace=False)].copy()
+    _check(pts, ctrs, radii=(0.2, 0.4, 0.8), nsamples=(8, 16, 32))
+
+
+def test_parity_dilated_annulus():
+    rng = np.random.RandomState(2)
+    pts = _random_cloud(rng, 2, 1024, clustered=True)
+    ctrs = pts[:, :128].copy()
+    _check(
+        pts, ctrs, radii=(0.4, 0.8, 1.6), nsamples=(16, 16, 32),
+        r_in=(0.0, 0.4, 0.8),
+    )
+
+
+def test_parity_out_of_range_points_and_centers():
+    rng = np.random.RandomState(3)
+    pts = _random_cloud(rng, 2, 1024, out_of_range=True)
+    ctrs = pts[:, :256].copy()  # includes out-of-range centers
+    _check(pts, ctrs, radii=(0.8, 1.6), nsamples=(16, 32))
+
+
+def test_parity_masks_and_empty_balls():
+    rng = np.random.RandomState(4)
+    pts = _random_cloud(rng, 2, 512)
+    # far-apart centers: some balls empty
+    ctrs = np.stack(
+        [
+            rng.uniform(0, 70, (2, 64)),
+            rng.uniform(-40, 40, (2, 64)),
+            rng.uniform(-3, 1, (2, 64)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    valid = rng.rand(2, 512) > 0.3
+    cvalid = rng.rand(2, 64) > 0.3
+    _check(pts, ctrs, radii=(0.5, 1.0), nsamples=(8, 16),
+           valid=valid, cvalid=cvalid)
+
+
+def test_overflow_reported():
+    rng = np.random.RandomState(5)
+    pts = np.full((1, 512, 3), 10.0, np.float32)  # all in one cell
+    pts += rng.normal(0, 0.01, pts.shape).astype(np.float32)
+    ctrs = pts[:, :8].copy()
+    _, overflow = binned_msg_query(
+        jnp.asarray(pts), jnp.asarray(ctrs), (0.8,), (16,),
+        pc_range=PC_RANGE, cell_cap=64,
+    )
+    assert int(np.asarray(overflow)[0]) == 512 - 64
