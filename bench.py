@@ -98,6 +98,115 @@ def _time_scans_per_sec_pipelined(infer, params, stats, batch, batch_size,
     return statistics.median(per_rep), per_rep
 
 
+PER_CONFIGS = (
+    # BASELINE.json "configs" coverage (the headline PointPillars
+    # number is reused, not re-measured)
+    ("second", "configs/kitti_models/second.yaml"),
+    ("pointrcnn", "configs/kitti_models/pointrcnn.yaml"),
+    ("det6d_car", "configs/kitti_models/det6d_car.yaml"),
+    ("pv_rcnn", "configs/kitti_models/pv_rcnn.yaml"),
+)
+
+
+def _spec_from_cfg(cfg):
+    from de6d_tpu.datasets.processor.data_processor import DataProcessor
+    from de6d_tpu.models.detectors.detector3d_template import DatasetSpec
+
+    dc = cfg.DATA_CONFIG
+    pcr = tuple(float(x) for x in dc["POINT_CLOUD_RANGE"])
+    dp = DataProcessor(
+        dc["DATA_PROCESSOR"], point_cloud_range=np.array(pcr, np.float32),
+        training=False, num_point_features=4,
+    )
+    vp = dp.voxel_params or {}
+    return DatasetSpec(
+        class_names=tuple(cfg.CLASS_NAMES),
+        point_feature_dim=4,
+        point_cloud_range=pcr,
+        voxel_size=tuple(vp.get("voxel_size", (0.16, 0.16, 4.0))),
+        max_voxels=int(vp.get("max_voxels", 16000)),
+        max_points_per_voxel=int(vp.get("max_points_per_voxel", 32)),
+    )
+
+
+def _bench_one_config(name, cfg_path, scan_pts, batch_size=8,
+                      n_points=16384):
+    """Inference throughput/latency for one zoo config (random init +
+    quantile score gate — same realistic-candidate-count protocol as
+    the headline's no-assets fallback). Returns a result dict."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+
+    from de6d_tpu.config import cfg_from_yaml_file
+    from de6d_tpu.models import build_network
+    from de6d_tpu.models.detectors.detector3d_template import post_processing
+
+    cfg = cfg_from_yaml_file(cfg_path)
+    model_cfg = copy.deepcopy(dict(cfg.MODEL))
+    model_cfg["COMPUTE_DTYPE"] = "bfloat16"
+    spec = _spec_from_cfg(cfg)
+    num_class = len(cfg.CLASS_NAMES)
+    model = build_network(model_cfg, num_class=num_class, dataset=spec)
+
+    pts = scan_pts[:batch_size, :n_points].copy()
+    # clip into this config's range so candidate counts are realistic
+    pc = spec.point_cloud_range
+    for d in range(3):
+        pts[..., d] = np.clip(pts[..., d], pc[d] + 0.01, pc[d + 3] - 0.01)
+    batch = {
+        "points": jnp.asarray(pts),
+        "points_mask": jnp.ones((batch_size, n_points), bool),
+    }
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), dict(batch)
+    )
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    post_cfg = dict(model_cfg["POST_PROCESSING"])
+
+    @jax.jit
+    def infer(params, batch_stats, batch):
+        v = {"params": params, "batch_stats": batch_stats}
+        out = model.apply(v, dict(batch), train=False)
+        post = post_processing(out, post_cfg, num_class)
+        return post["pred_boxes"], post["pred_scores"], post["pred_count"]
+
+    @jax.jit
+    def chain(batch, scores):
+        eps = (
+            jnp.max(scores) * 1e-9 + 1e-4
+        ).astype(batch["points"].dtype)
+        return {**batch, "points": batch["points"] + eps}
+
+    t0 = time.perf_counter()
+    out = infer(params, stats, batch)
+    jax.block_until_ready(out)
+    print(f"# per_config {name}: compile+warmup "
+          f"{time.perf_counter()-t0:.1f}s, mean pred_count "
+          f"{float(np.mean(np.asarray(out[2]))):.0f}", file=sys.stderr)
+
+    serial, _ = _time_scans_per_sec(
+        infer, chain, params, stats, batch, batch_size, iters=5, reps=3
+    )
+    piped, _ = _time_scans_per_sec_pipelined(
+        infer, params, stats, batch, batch_size, iters=5, reps=3
+    )
+    print(f"# per_config {name}: {piped:.1f} scans/s pipelined, "
+          f"{serial:.1f} serial, p50 {1e3/serial:.1f} ms", file=sys.stderr)
+    res = {
+        "scans_per_sec": round(piped, 2),
+        "serial_chained_scans_per_sec": round(serial, 2),
+        "p50_latency_ms_per_scan": round(1e3 / serial, 3),
+        "trained_ckpt": False,
+    }
+    del params, stats, variables, batch, out
+    gc.collect()
+    return res
+
+
 def _load_assets():
     p = ASSETS / "pointpillar_params.npz"
     s = ASSETS / "scans.npz"
@@ -258,6 +367,23 @@ def main():
         print(f"# sweep batch={bs}: {med:.1f} scans/s", file=sys.stderr)
     sweep[f"batch_{batch_size}"] = round(results["realistic"], 2)
 
+    # per-config matrix over the BASELINE.json "configs" list (scan
+    # points reused; random init + quantile gate — see _bench_one_config)
+    per_config = {
+        "pointpillar": {
+            "scans_per_sec": round(results["realistic_pipelined"], 2),
+            "serial_chained_scans_per_sec": round(results["realistic"], 2),
+            "p50_latency_ms_per_scan": round(1e3 / results["realistic"], 3),
+            "trained_ckpt": assets is not None,
+        }
+    }
+    for name, cfg_path in PER_CONFIGS:
+        try:
+            per_config[name] = _bench_one_config(name, cfg_path, pts)
+        except Exception as e:  # one config must not sink the headline
+            print(f"# per_config {name} FAILED: {e!r}", file=sys.stderr)
+            per_config[name] = {"error": str(e)[:200]}
+
     # headline = pipelined throughput (BASELINE north-star:
     # "double-buffered batched single-frame inference"); the
     # serial-chained number (each scan's input depends on the previous
@@ -292,6 +418,7 @@ def main():
                     results["worst_case_pipelined"], 2
                 ),
                 "batch_sweep": sweep,
+                "per_config": per_config,
                 "batch_size": batch_size,
                 "trained_ckpt": assets is not None,
             }

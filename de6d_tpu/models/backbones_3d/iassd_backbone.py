@@ -149,6 +149,7 @@ class IASSD_Backbone(nn.Module):
     input_channels: int
     grid_size: tuple = (0, 0, 0)
     num_class: int = 3
+    point_cloud_range: tuple = ()  # enables the binned ball query
 
     def setup(self):
         sa = self.model_cfg["SA_CONFIG"]
@@ -191,6 +192,11 @@ class IASSD_Backbone(nn.Module):
                     confidence_mlp=conf,
                     confidence_num_class=self.num_class,
                     dtype=compute_dtype(self.model_cfg),
+                    pc_range=tuple(self.point_cloud_range),
+                    bin_cell_cap=(
+                        int(sa.get("BIN_CELL_CAP", 128))
+                        if sa.get("BINNED_QUERY", True) else 0
+                    ),
                 ))
             elif ltype == "Vote_Layer":
                 modules.append(VoteLayer(

@@ -49,6 +49,11 @@ def _build_sa_stack(model_cfg, input_channels):
         range_lists = [[[0, -1]] for _ in sa_cfg["NPOINTS"]]
         method_lists = [["d-fps"] for _ in sa_cfg["NPOINTS"]]
 
+    binned_cap = (
+        int(sa_cfg.get("BIN_CELL_CAP", 128))
+        if sa_cfg.get("BINNED_QUERY", True) else 0
+    )
+
     layers = []
     channel_in = input_channels - 3
     skip_channels = [channel_in]
@@ -77,6 +82,7 @@ def _build_sa_stack(model_cfg, input_channels):
                 weight_gamma=float(gamma),
                 aggregation_mlp=agg,
                 confidence_mlp=conf,
+                bin_cell_cap=binned_cap,
             )
         )
         skip_channels.append(channel_out)
@@ -88,6 +94,7 @@ class _PointNet2Base(nn.Module):
     model_cfg: dict
     input_channels: int
     grid_size: tuple = (0, 0, 0)
+    point_cloud_range: tuple = ()  # enables the binned ball query
 
     def setup(self):
         dt = compute_dtype(self.model_cfg)
@@ -95,7 +102,10 @@ class _PointNet2Base(nn.Module):
             self.model_cfg, self.input_channels
         )
         self.sa_modules = [
-            PointnetSAModuleFSMSG(dtype=dt, **kw) for kw in layers
+            PointnetSAModuleFSMSG(
+                dtype=dt, pc_range=tuple(self.point_cloud_range), **kw
+            )
+            for kw in layers
         ]
         self._skip_channels = skip_channels
         self.num_point_features = channel_out

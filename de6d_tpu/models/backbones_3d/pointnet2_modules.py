@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import ball_query as bq
+from ...ops import binned
 from ...ops import sampling
 from ..model_utils.mlp import SharedMLP
 
@@ -131,6 +132,64 @@ class PointnetSAModuleFSMSG(nn.Module):
     # always stays fp32: bf16 absolute coords only resolve ~0.25 m at
     # KITTI ranges. Scores returned to callers are cast back to fp32.
     dtype: object = jnp.float32
+    # spatially binned ball query (ops.binned): non-empty pc_range
+    # enables one shared cell-sort + 3x3-window candidate pruning for
+    # all MSG scales, replacing the per-scale brute-force (M, N)
+    # distance sweep. Exact: falls back to brute force in-graph (one
+    # lax.cond) if any cell overflows bin_cell_cap.
+    pc_range: tuple = ()
+    bin_cell_cap: int = 128
+
+    def _scale_tuples(self):
+        """Static (radii, inner radii, nsamples) tuples per scale."""
+        r_ins = []
+        prev = 0.0
+        for r in self.radii:
+            r_ins.append(prev if self.dilated_radius_group else 0.0)
+            prev = float(r)
+        return (
+            tuple(float(r) for r in self.radii),
+            tuple(float(r) for r in r_ins),
+            tuple(int(s) for s in self.nsamples),
+        )
+
+    def _binned_ok(self, n: int) -> bool:
+        """Binning pays only when the 3x3 window genuinely prunes: the
+        window holds <= 9*cap candidate slots vs N brute columns."""
+        if not (self.pc_range and self.bin_cell_cap > 0):
+            return False
+        gx, gy = binned.grid_dims(
+            self.pc_range, max(float(r) for r in self.radii)
+        )
+        return gx * gy >= 64 and 9 * self.bin_cell_cap < n
+
+    def _query_all_scales(self, xyz, new_xyz, valid, new_valid):
+        """(idx, cnt) per scale — binned when it prunes, else brute."""
+        n = xyz.shape[1]
+        radii, r_ins, nsamples = self._scale_tuples()
+
+        def brute(_):
+            return tuple(
+                bq.ball_query(
+                    xyz, new_xyz, r, ns, valid, new_valid, radius_in=ri
+                )
+                for r, ri, ns in zip(radii, r_ins, nsamples)
+            )
+
+        if not self._binned_ok(n):
+            return brute(None)
+
+        res, overflow = binned.binned_msg_query(
+            xyz, new_xyz, radii, nsamples, valid, new_valid,
+            radius_in_list=r_ins, pc_range=tuple(self.pc_range),
+            cell_cap=int(self.bin_cell_cap),
+        )
+        return jax.lax.cond(
+            jnp.max(overflow) > 0,
+            brute,
+            lambda _: tuple((i, c) for i, c in res),
+            None,
+        )
 
     @nn.compact
     def __call__(self, xyz, features=None, valid=None, scores=None,
@@ -164,52 +223,95 @@ class PointnetSAModuleFSMSG(nn.Module):
         elif new_valid is None:
             new_valid = jnp.ones(new_xyz.shape[:2], dtype=bool)
 
-        pooled_list = []
-        prev_radius = 0.0
-        for i, (radius, nsample, mlp) in enumerate(
-            zip(self.radii, self.nsamples, self.mlps)
-        ):
-            r_in = prev_radius if self.dilated_radius_group else 0.0
-            grouped, cnt = bq.query_and_group(
-                xyz, new_xyz, features,
-                radius=float(radius), nsample=int(nsample),
-                valid_mask=valid, new_valid_mask=new_valid,
-                radius_in=float(r_in), use_xyz=self.use_xyz,
-            )  # (B, M, ns, C_in)
-            prev_radius = radius
-            out = SharedMLP(
-                tuple(mlp), use_bn=self.use_bn, dtype=self.dtype
-            )(grouped, train)
-            mask = (cnt > 0)[..., None, None]
-            out = jnp.where(mask, out, 0.0)
-            if self.pool_method == "max_pool":
-                pooled = jnp.max(
-                    jnp.where(mask, out, -jnp.inf), axis=2
-                )
-                pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
-            else:
-                # accumulate in fp32: summing nsample bf16 activations
-                # loses precision the max_pool branch doesn't
-                denom = jnp.maximum(cnt[..., None], 1).astype(jnp.float32)
-                pooled = (jnp.sum(out.astype(jnp.float32), axis=2)
-                          / denom).astype(out.dtype)
-            pooled_list.append(pooled)
+        # explicit child names = the auto names the pre-fused compact
+        # loop assigned (SharedMLP_0..S-1 scales, then aggregation,
+        # then confidence) — keeps existing checkpoints loading
+        scale_mlps = [
+            SharedMLP(
+                tuple(mlp), use_bn=self.use_bn, dtype=self.dtype,
+                name=f"SharedMLP_{i}",
+            )
+            for i, mlp in enumerate(self.mlps)
+        ]
+        radii, r_ins, nsamples = self._scale_tuples()
+
+        fused = (
+            not train
+            and not self.is_initializing()
+            and self._binned_ok(n)
+        )
+        if fused:
+            # query + group + MLP + pool in one pass per center chunk
+            # (BN folds to affine at inference; the grouped tensor
+            # never reaches HBM at (B, M, ns, C)); in-graph brute
+            # fallback keeps exactness if a cell overflows the cap
+            folded = [mod.folded() for mod in scale_mlps]
+            common = dict(
+                radii=radii, nsamples=nsamples, radius_in_list=r_ins,
+                use_xyz=self.use_xyz, pool_method=self.pool_method,
+                dtype=self.dtype,
+            )
+            over = binned.cell_overflow(
+                xyz, valid, tuple(self.pc_range), max(radii),
+                int(self.bin_cell_cap),
+            )
+            pooled_t, cnt_t = jax.lax.cond(
+                jnp.max(over) > 0,
+                lambda _: binned.brute_sa_infer(
+                    xyz, features, new_xyz, folded, valid, new_valid,
+                    **common,
+                ),
+                lambda _: binned.binned_sa_infer(
+                    xyz, features, new_xyz, folded, valid, new_valid,
+                    pc_range=tuple(self.pc_range),
+                    cell_cap=int(self.bin_cell_cap), **common,
+                ),
+                None,
+            )
+            pooled_list = list(pooled_t)
+        else:
+            idx_cnt = self._query_all_scales(xyz, new_xyz, valid, new_valid)
+            pooled_list = []
+            for i in range(len(self.mlps)):
+                idx, cnt = idx_cnt[i]
+                grouped = bq.group_with_idx(
+                    xyz, new_xyz, features, idx, use_xyz=self.use_xyz
+                )  # (B, M, ns, C_in)
+                out = scale_mlps[i](grouped, train)
+                mask = (cnt > 0)[..., None, None]
+                out = jnp.where(mask, out, 0.0)
+                if self.pool_method == "max_pool":
+                    pooled = jnp.max(
+                        jnp.where(mask, out, -jnp.inf), axis=2
+                    )
+                    pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
+                else:
+                    # accumulate in fp32: summing nsample bf16
+                    # activations loses precision max_pool doesn't
+                    denom = jnp.maximum(
+                        cnt[..., None], 1
+                    ).astype(jnp.float32)
+                    pooled = (jnp.sum(out.astype(jnp.float32), axis=2)
+                              / denom).astype(out.dtype)
+                pooled_list.append(pooled)
 
         if old_features is not None:
             pooled_list.append(old_features.astype(pooled_list[0].dtype))
         new_features = jnp.concatenate(pooled_list, axis=-1)
 
+        n_named = len(self.mlps)
         if self.aggregation_mlp:
             new_features = SharedMLP(
                 tuple(self.aggregation_mlp), use_bn=self.use_bn,
-                dtype=self.dtype,
+                dtype=self.dtype, name=f"SharedMLP_{n_named}",
             )(new_features, train)
+            n_named += 1
 
         new_scores = None
         if self.confidence_mlp:
             h = SharedMLP(
                 tuple(self.confidence_mlp), use_bn=self.use_bn,
-                dtype=self.dtype,
+                dtype=self.dtype, name=f"SharedMLP_{n_named}",
             )(new_features, train)
             if self.confidence_num_class > 0:
                 # per-class logits (IA-SSD ctr_aware sampling + the

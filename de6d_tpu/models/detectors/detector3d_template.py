@@ -100,6 +100,11 @@ class Detector3DTemplate(nn.Module):
                 dict(num_class=self.num_class)
                 if bb_cls.__name__ == "IASSD_Backbone" else {}
             )
+            # point backbones take the pc range for the binned query
+            if "point_cloud_range" in bb_cls.__dataclass_fields__:
+                bb_extra["point_cloud_range"] = tuple(
+                    spec.point_cloud_range
+                )
             self.backbone_3d = bb_cls(
                 model_cfg=cfg["BACKBONE_3D"],
                 input_channels=self.vfe.output_feature_dim if "VFE" in cfg else spec.point_feature_dim,

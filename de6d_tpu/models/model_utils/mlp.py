@@ -35,6 +35,38 @@ class SharedMLP(nn.Module):
             x = nn.relu(x)
         return x
 
+    def folded(self):
+        """Eval-time per-layer affine weights ``[(W, b), ...]``.
+
+        At inference BN is an affine map, so Dense(no bias) + BN folds
+        into one fp32 (W·s, β − μ·s) pair with s = γ/√(σ²+ε). Fused
+        consumers (ops.binned.binned_sa_infer) apply the MLP inside
+        their center-chunk loop so the grouped tensor never
+        materializes. Read-only: must not be called during init (the
+        caller guards with ``is_initializing``); params/stats are read
+        from this module's bound variables, matching the names the
+        compact ``__call__`` created.
+        """
+        p = self.variables["params"]
+        stats = self.variables.get("batch_stats", {})
+        out = []
+        for i in range(len(self.channels)):
+            w = p[f"Dense_{i}"]["kernel"].astype(jnp.float32)
+            if self.use_bn:
+                bnp = p[f"BatchNorm_{i}"]
+                st = stats[f"BatchNorm_{i}"]
+                s = bnp["scale"].astype(jnp.float32) / jnp.sqrt(
+                    st["var"].astype(jnp.float32) + 1e-3
+                )
+                b = bnp["bias"].astype(jnp.float32) - st["mean"].astype(
+                    jnp.float32
+                ) * s
+                w = w * s[None, :]
+            else:
+                b = p[f"Dense_{i}"]["bias"].astype(jnp.float32)
+            out.append((w, b))
+        return out
+
 
 class FCStack(nn.Module):
     """fc_list of Dense+BN+ReLU, then a final biased Dense to

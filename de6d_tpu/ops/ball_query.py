@@ -160,6 +160,13 @@ def query_and_group(
     idx, cnt = ball_query(
         xyz, new_xyz, radius, nsample, valid_mask, new_valid_mask, radius_in
     )
+    return group_with_idx(xyz, new_xyz, features, idx, use_xyz), cnt
+
+
+def group_with_idx(xyz, new_xyz, features, idx, use_xyz: bool = True):
+    """Relative-xyz grouping for precomputed ball-query indices
+    (the grouping half of query_and_group; callers with a shared
+    multi-scale query — ops.binned.binned_msg_query — reuse it)."""
     if features is not None and use_xyz:
         # ONE wide gather of concat[xyz, feat] instead of two narrow
         # ones: TPU row-gather cost scales with row COUNT, not bytes
@@ -175,7 +182,7 @@ def query_and_group(
         grouped = group_points(features, idx)
     else:
         grouped = group_points(xyz, idx) - new_xyz[:, :, None, :]
-    return grouped, cnt
+    return grouped
 
 
 @functools.partial(jax.jit, static_argnames=("center_chunk",))

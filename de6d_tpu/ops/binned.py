@@ -241,3 +241,251 @@ def binned_msg_query(
         xyz, new_xyz, valid_mask, new_valid_mask
     )
     return list(per_scale), overflow
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pc_range", "cell", "cell_cap")
+)
+def cell_overflow(xyz, valid_mask, pc_range: tuple, cell: float,
+                  cell_cap: int):
+    """(B,) int32: points beyond ``cell_cap`` in their (clamped) 2-D
+    cell — the cheap pre-check the fused SA path conds its brute-force
+    fallback on (no table build; one scatter-add over N rows)."""
+    gx, gy = grid_dims(pc_range, float(cell))
+    x0, y0 = float(pc_range[0]), float(pc_range[1])
+    cx = jnp.clip(
+        jnp.floor((xyz[..., 0] - x0) / cell).astype(jnp.int32), 0, gx - 1
+    )
+    cy = jnp.clip(
+        jnp.floor((xyz[..., 1] - y0) / cell).astype(jnp.int32), 0, gy - 1
+    )
+    key = jnp.where(valid_mask, cy * gx + cx, gx * gy)
+
+    def single(k):
+        counts = jnp.zeros(gx * gy + 1, jnp.int32).at[k].add(1)
+        return jnp.sum(
+            jnp.maximum(counts[:-1] - cell_cap, 0)
+        )
+
+    return jax.vmap(single)(key)
+
+
+def _affine_mlp_pool(grouped, cnt, folded, dtype, pool_method: str):
+    """Folded (W, b) MLP + masked pool over the group axis (-2).
+
+    grouped slots past ``cnt`` must already replicate the first hit
+    (ball-query pad semantics) so avg_pool's pad-inclusive sum matches
+    the standard path bit-for-bit in spirit (same math, fold rounding
+    aside)."""
+    h = grouped.astype(dtype)
+    for w, bias in folded:
+        h = jax.nn.relu(h @ w.astype(dtype) + bias.astype(dtype))
+    ok = (cnt > 0)[..., None]
+    if pool_method == "max_pool":
+        pooled = jnp.max(h, axis=-2)
+    else:
+        denom = jnp.maximum(cnt[..., None], 1).astype(jnp.float32)
+        pooled = (jnp.sum(h.astype(jnp.float32), axis=-2)
+                  / denom).astype(h.dtype)
+    return jnp.where(ok, pooled, 0)
+
+
+def brute_sa_infer(
+    xyz, features, new_xyz, folded, valid_mask, new_valid_mask,
+    radii: tuple, nsamples: tuple, radius_in_list: tuple,
+    use_xyz: bool = True, pool_method: str = "max_pool",
+    dtype=jnp.float32,
+):
+    """Reference-semantics SA inference with the folded-affine MLP —
+    the overflow fallback branch of :func:`binned_sa_infer` (pure: no
+    flax, so it can live inside lax.cond)."""
+    from . import ball_query as bq
+
+    pooled_list, cnt_list = [], []
+    for (r, ri, ns), fold in zip(
+        zip(radii, radius_in_list, nsamples), folded
+    ):
+        idx, cnt = bq.ball_query(
+            xyz, new_xyz, float(r), int(ns), valid_mask, new_valid_mask,
+            radius_in=float(ri),
+        )
+        grouped = bq.group_with_idx(
+            xyz, new_xyz, features, idx, use_xyz=use_xyz
+        )
+        pooled_list.append(
+            _affine_mlp_pool(grouped, cnt, fold, dtype, pool_method)
+        )
+        cnt_list.append(cnt)
+    return tuple(pooled_list), tuple(cnt_list)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "radii", "nsamples", "radius_in_list", "pc_range", "cell_cap",
+        "center_chunk", "use_xyz", "pool_method", "dtype",
+    ),
+)
+def binned_sa_infer(
+    xyz, features, new_xyz, folded, valid_mask, new_valid_mask,
+    radii: tuple, nsamples: tuple, radius_in_list: tuple,
+    pc_range: tuple, cell_cap: int = 128, center_chunk: int = 128,
+    use_xyz: bool = True, pool_method: str = "max_pool",
+    dtype=jnp.float32,
+):
+    """Fused multi-scale SA inference: query + group + MLP + pool per
+    center chunk, so the (B, M, ns, C) grouped tensor never reaches
+    HBM at full size.
+
+    The candidate table carries features alongside xyz (one
+    cell-granular fetch serves every scale); per chunk: exact d² →
+    first-nsample select (identical semantics to binned_msg_query) →
+    local gather → folded-affine MLP (BN is affine at inference,
+    SharedMLP.folded) → masked pool. Assumes no cell overflow — the
+    caller conds on :func:`cell_overflow` and falls back to
+    :func:`brute_sa_infer`.
+
+    Match: the reference's ball_query+group+SharedMLP inference path
+    (core/pcdet/ops/pointnet2/pointnet2_batch/pointnet2_modules.py:358-494),
+    restructured so the TPU never materializes the grouped tensor.
+
+    Returns (pooled per scale (B, M, Cout_s), cnt per scale (B, M)).
+    """
+    b, n, _ = xyz.shape
+    m = new_xyz.shape[1]
+    if valid_mask is None:
+        valid_mask = jnp.ones((b, n), dtype=bool)
+    if new_valid_mask is None:
+        new_valid_mask = jnp.ones((b, m), dtype=bool)
+    feat_dim = 0 if features is None else features.shape[-1]
+    d_cols = 4 + feat_dim
+
+    cell = float(max(radii))
+    gx, gy = grid_dims(pc_range, cell)
+    g = gx * gy
+    cap = int(cell_cap)
+    x0, y0 = float(pc_range[0]), float(pc_range[1])
+
+    def cell_ids(pts):
+        cx = jnp.clip(
+            jnp.floor((pts[..., 0] - x0) / cell).astype(jnp.int32), 0, gx - 1
+        )
+        cy = jnp.clip(
+            jnp.floor((pts[..., 1] - y0) / cell).astype(jnp.int32), 0, gy - 1
+        )
+        return cx, cy
+
+    def single(xyz_i, feat_i, new_xyz_i, valid_i, new_valid_i):
+        cx, cy = cell_ids(xyz_i)
+        key = jnp.where(valid_i, cy * gx + cx, IMAX)
+        order = jnp.argsort(key, stable=True).astype(jnp.int32)
+        sorted_key = key[order]
+        starts = jnp.searchsorted(
+            sorted_key, jnp.arange(g + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
+        rank = jnp.arange(n, dtype=jnp.int32) - starts[
+            jnp.clip(sorted_key, 0, g)
+        ]
+        keep = (sorted_key != IMAX) & (rank < cap)
+        slot = jnp.where(
+            keep, jnp.clip(sorted_key, 0, g - 1) * cap + rank, g * cap + 1
+        )
+        cols = [xyz_i[order], order[:, None].astype(jnp.float32)]
+        if feat_i is not None:
+            cols.append(feat_i[order].astype(jnp.float32))
+        row = jnp.concatenate(cols, axis=-1)
+        tbl = jnp.zeros((g * cap + 1, d_cols), jnp.float32)
+        tbl = tbl.at[:, :3].set(1e9)
+        tbl = tbl.at[:, 3].set(-1.0)
+        tbl = tbl.at[slot].set(row, mode="drop")
+        tbl_cells = jnp.concatenate(
+            [tbl, jnp.broadcast_to(tbl[-1:], (cap - 1, d_cols))], axis=0
+        ).reshape(g + 1, cap, d_cols)
+
+        ccx, ccy = cell_ids(new_xyz_i)
+        offs = jnp.array(
+            [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+            jnp.int32,
+        )
+        wx = ccx[:, None] + offs[None, :, 1]
+        wy = ccy[:, None] + offs[None, :, 0]
+        in_grid = (wx >= 0) & (wx < gx) & (wy >= 0) & (wy < gy)
+        wcell = jnp.where(in_grid, wy * gx + wx, g)
+
+        chunk = min(center_chunk, m)
+        pad = (-m) % chunk
+        wcell_p = jnp.pad(wcell, ((0, pad), (0, 0)), constant_values=g)
+        centers_p = jnp.pad(new_xyz_i, ((0, pad), (0, 0)))
+        cvalid_p = jnp.pad(new_valid_i, (0, pad))
+
+        def per_chunk(args):
+            wc, ctr, cv = args
+            cand = tbl_cells[wc].reshape(chunk, 9 * cap, d_cols)
+            cxyz = cand[..., :3]
+            na = jnp.sum(ctr * ctr, axis=-1)
+            nb = jnp.sum(cxyz * cxyz, axis=-1)
+            cross = jnp.einsum(
+                "kc,knc->kn", ctr, cxyz, precision=jax.lax.Precision.HIGHEST
+            )
+            d2 = jnp.maximum(na[:, None] + nb - 2.0 * cross, 0.0)
+            orig = cand[..., 3].astype(jnp.int32)
+            base_ok = (orig >= 0) & cv[:, None]
+            outs = []
+            for (r_out, r_in, ns), fold in zip(
+                zip(radii, radius_in_list, nsamples), folded
+            ):
+                in_ball = (
+                    base_ok & (d2 < r_out * r_out) & (d2 >= r_in * r_in)
+                )
+                skey = jnp.where(in_ball, orig, IMAX)
+                _, pos = jax.lax.top_k(-skey, ns)  # candidate positions
+                cnt = jnp.minimum(
+                    jnp.sum(in_ball, axis=-1), ns
+                ).astype(jnp.int32)
+                slot_ids = jnp.arange(ns, dtype=jnp.int32)
+                # pad slots replicate the first hit (reference pad
+                # semantics; keeps avg_pool's pad-inclusive sum exact)
+                pos_f = jnp.where(
+                    slot_ids[None, :] < jnp.maximum(cnt, 1)[:, None],
+                    pos, pos[:, :1],
+                )
+                sel = jnp.take_along_axis(
+                    cand, pos_f[..., None], axis=1
+                )  # (chunk, ns, d_cols)
+                parts = []
+                if use_xyz:
+                    parts.append(sel[..., :3] - ctr[:, None, :])
+                if feat_i is not None:
+                    parts.append(sel[..., 4:])
+                grouped = (
+                    parts[0] if len(parts) == 1
+                    else jnp.concatenate(parts, axis=-1)
+                )
+                outs.append(
+                    (_affine_mlp_pool(grouped, cnt, fold, dtype,
+                                      pool_method), cnt)
+                )
+            return tuple(outs)
+
+        res = jax.lax.map(
+            per_chunk,
+            (
+                wcell_p.reshape(-1, chunk, 9),
+                centers_p.reshape(-1, chunk, 3),
+                cvalid_p.reshape(-1, chunk),
+            ),
+        )
+        out = []
+        for pooled, cnt in res:
+            out.append(
+                (pooled.reshape(-1, pooled.shape[-1])[:m],
+                 cnt.reshape(-1)[:m])
+            )
+        return tuple(out)
+
+    per_scale = jax.vmap(
+        single, in_axes=(0, None if features is None else 0, 0, 0, 0)
+    )(xyz, features, new_xyz, valid_mask, new_valid_mask)
+    pooled_list = tuple(p for p, _ in per_scale)
+    cnt_list = tuple(c for _, c in per_scale)
+    return pooled_list, cnt_list

@@ -154,3 +154,71 @@ def test_overflow_reported():
         pc_range=PC_RANGE, cell_cap=64,
     )
     assert int(np.asarray(overflow)[0]) == 512 - 64
+
+
+def _sa_fixture():
+    import jax
+    from de6d_tpu.models.backbones_3d.pointnet2_modules import (
+        PointnetSAModuleFSMSG,
+    )
+
+    rng = np.random.RandomState(7)
+    pts = _random_cloud(rng, 2, 2048)
+    radii = (0.4, 0.8, 1.6)
+    pts = _scrub_boundaries(pts, pts[:, :512].copy(), radii)
+    xyz = jnp.asarray(pts)
+    feats = jnp.asarray(rng.randn(2, 2048, 4).astype(np.float32))
+    valid = jnp.asarray(rng.rand(2, 2048) > 0.1)
+
+    kw = dict(
+        radii=radii, nsamples=(8, 16, 16),
+        mlps=((8, 16), (8, 16), (8, 16)),
+        npoint_list=(512,), sample_range_list=((0, -1),),
+        sample_method_list=("d-fps",), dilated_radius_group=True,
+        aggregation_mlp=(16,), confidence_mlp=(8,),
+    )
+    brute = PointnetSAModuleFSMSG(**kw)
+    binned64 = PointnetSAModuleFSMSG(pc_range=PC_RANGE, bin_cell_cap=64, **kw)
+    binned2 = PointnetSAModuleFSMSG(pc_range=PC_RANGE, bin_cell_cap=2, **kw)
+    params = brute.init(jax.random.PRNGKey(0), xyz, feats, valid, train=False)
+    return (xyz, feats, valid), params, (brute, binned64, binned2)
+
+
+def _cmp(ref, got, exact: bool):
+    for a, b in zip(ref, got):
+        if a is None:
+            assert b is None
+        elif exact:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        else:
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+            )
+
+
+def test_sa_module_binned_parity_train():
+    """Training path (binned query selection, standard MLP): outputs
+    must be bit-identical to the brute-force module — including the
+    in-graph overflow fallback (tiny cap)."""
+    args, params, (brute, binned64, binned2) = _sa_fixture()
+
+    def run(m):
+        out, _ = m.apply(
+            params, *args, train=True, mutable=["batch_stats"]
+        )
+        return out
+
+    ref = run(brute)
+    _cmp(ref, run(binned64), exact=True)
+    _cmp(ref, run(binned2), exact=True)
+
+
+def test_sa_module_fused_eval_parity():
+    """Eval path: the fused binned SA (BN folded to affine, MLP+pool
+    inside the chunk loop) must match the standard eval path to fp32
+    fold-rounding tolerance; overflow (cap=2) routes through the
+    brute_sa_infer fallback with the same folded math."""
+    args, params, (brute, binned64, binned2) = _sa_fixture()
+    ref = brute.apply(params, *args, train=False)
+    _cmp(ref, binned64.apply(params, *args, train=False), exact=False)
+    _cmp(ref, binned2.apply(params, *args, train=False), exact=False)
