@@ -65,6 +65,93 @@ def sample_car_points(box7, n, rng):
     return out
 
 
+def sample_ped_points(box7, n, rng):
+    """Lidar-like points on a synthetic pedestrian: two leg columns,
+    a torso ellipse and a head blob — tall + thin footprint is the
+    class cue vs Car/Cyclist. Slight forward head/chest lean keeps a
+    (weak, like reality) heading cue."""
+    cx, cy, cz, l, w, h, yaw = [float(v) for v in box7[:7]]
+    local = np.zeros((n, 3), np.float32)
+    n_leg = int(n * 0.25)
+    n_torso = int(n * 0.55)
+    n_head = n - n_leg - n_torso
+    side = np.where(rng.rand(n_leg) > 0.5, 1.0, -1.0)
+    local[:n_leg, 0] = rng.normal(0, 0.04, n_leg)
+    local[:n_leg, 1] = side * 0.09 + rng.normal(0, 0.03, n_leg)
+    local[:n_leg, 2] = rng.uniform(-0.5, -0.15, n_leg) * h
+    ang = rng.uniform(0, 2 * np.pi, n_torso)
+    local[n_leg:n_leg + n_torso, 0] = 0.42 * l * np.cos(ang) * 0.5
+    local[n_leg:n_leg + n_torso, 1] = 0.42 * w * np.sin(ang) * 0.5
+    local[n_leg:n_leg + n_torso, 2] = rng.uniform(-0.15, 0.30, n_torso) * h
+    local[n_leg + n_torso:, 0] = 0.04 * l + rng.normal(0, 0.05, n_head)
+    local[n_leg + n_torso:, 1] = rng.normal(0, 0.05, n_head)
+    local[n_leg + n_torso:, 2] = rng.uniform(0.32, 0.5, n_head) * h
+    local += rng.normal(0, 0.015, local.shape)
+    c, s = np.cos(yaw), np.sin(yaw)
+    out = np.empty_like(local)
+    out[:, 0] = c * local[:, 0] - s * local[:, 1] + cx
+    out[:, 1] = s * local[:, 0] + c * local[:, 1] + cy
+    out[:, 2] = local[:, 2] + cz
+    return out
+
+
+def sample_cyclist_points(box7, n, rng):
+    """Synthetic cyclist: two wheel rings in the x-z plane, a frame
+    bar, a transverse handlebar at the FRONT and a rider column over
+    the rear half — long + thin + mid-height with a strong
+    front/back asymmetry (heading cue)."""
+    cx, cy, cz, l, w, h, yaw = [float(v) for v in box7[:7]]
+    local = np.zeros((n, 3), np.float32)
+    n_wheel = int(n * 0.35)
+    n_frame = int(n * 0.10)
+    n_bar = int(n * 0.15)
+    n_rider = n - n_wheel - n_frame - n_bar
+    # wheels: rings of radius 0.35 m centered z ~ bottom + 0.35
+    which = np.where(rng.rand(n_wheel) > 0.5, 1.0, -1.0)
+    ang = rng.uniform(0, 2 * np.pi, n_wheel)
+    local[:n_wheel, 0] = which * 0.30 * l + 0.33 * np.cos(ang)
+    local[:n_wheel, 1] = rng.normal(0, 0.02, n_wheel)
+    local[:n_wheel, 2] = (-0.5 * h + 0.35) + 0.33 * np.sin(ang)
+    i0 = n_wheel
+    local[i0:i0 + n_frame, 0] = rng.uniform(-0.3, 0.3, n_frame) * l
+    local[i0:i0 + n_frame, 1] = rng.normal(0, 0.02, n_frame)
+    local[i0:i0 + n_frame, 2] = (-0.5 + rng.uniform(0.35, 0.55, n_frame)) * h
+    i0 += n_frame
+    # handlebar: transverse bar at the front (y-extended)
+    local[i0:i0 + n_bar, 0] = 0.32 * l + rng.normal(0, 0.03, n_bar)
+    local[i0:i0 + n_bar, 1] = rng.uniform(-0.5, 0.5, n_bar) * w
+    local[i0:i0 + n_bar, 2] = (-0.5 + rng.uniform(0.58, 0.66, n_bar)) * h
+    i0 += n_bar
+    # rider torso + head over the rear half
+    local[i0:, 0] = -0.12 * l + rng.normal(0, 0.07, n_rider)
+    local[i0:, 1] = rng.normal(0, 0.07, n_rider)
+    local[i0:, 2] = rng.uniform(0.0, 0.5, n_rider) * h
+    local += rng.normal(0, 0.015, local.shape)
+    c, s = np.cos(yaw), np.sin(yaw)
+    out = np.empty_like(local)
+    out[:, 0] = c * local[:, 0] - s * local[:, 1] + cx
+    out[:, 1] = s * local[:, 0] + c * local[:, 1] + cy
+    out[:, 2] = local[:, 2] + cz
+    return out
+
+
+# per-class (sampler, size ranges, z range, points fraction of a car)
+CLASS_SPECS = {
+    "Car": (
+        sample_car_points,
+        ((3.6, 4.6), (1.55, 1.75), (1.4, 1.7)), (-1.2, -0.6), 1.0,
+    ),
+    "Pedestrian": (
+        sample_ped_points,
+        ((0.7, 0.9), (0.55, 0.70), (1.6, 1.85)), (-0.95, -0.75), 0.25,
+    ),
+    "Cyclist": (
+        sample_cyclist_points,
+        ((1.6, 1.9), (0.5, 0.7), (1.6, 1.8)), (-1.0, -0.8), 0.3,
+    ),
+}
+
+
 CALIB_TXT = """P0: 700 0 600 0 0 700 180 0 0 0 1 0
 P1: 700 0 600 0 0 700 180 0 0 0 1 0
 P2: 700 0 600 44.85 0 700 180 0.21 0 0 1 0.003
@@ -76,7 +163,8 @@ Tr_imu_to_velo: 1 0 0 0 0 1 0 0 0 0 1 0
 
 
 def build_tree(root: Path, frames: int, train_frac: float, seed: int,
-               n_points: int, cars_per_frame: int = 2):
+               n_points: int, cars_per_frame: int = 2,
+               peds_per_frame: int = 0, cyclists_per_frame: int = 0):
     from de6d_tpu.utils import box_np_ops, calibration_kitti
 
     rng = np.random.RandomState(seed)
@@ -115,20 +203,37 @@ def build_tree(root: Path, frames: int, train_frac: float, seed: int,
         pts[:, 3] = rng.uniform(0, 1, n_points)
 
         lines = []
-        per = max(60, n_points // (8 * cars_per_frame))
-        for g in range(cars_per_frame):
+        roster = (
+            ["Car"] * cars_per_frame
+            + ["Pedestrian"] * peds_per_frame
+            + ["Cyclist"] * cyclists_per_frame
+        )
+        per_car = max(60, n_points // (8 * max(1, len(roster))))
+        # rejection-sampled centers: objects never overlap (>= 3 m
+        # apart) so multi-class NMS/assignment sees clean instances
+        centers = []
+        off = 0
+        for cls_name in roster:
+            sampler, (lr, wr, hr), zr, frac = CLASS_SPECS[cls_name]
+            for _ in range(40):
+                cxy = np.array(
+                    [rng.uniform(8, 40), rng.uniform(-8, 8)], np.float32
+                )
+                if all(np.linalg.norm(cxy - c) > 3.0 for c in centers):
+                    break
+            centers.append(cxy)
             box = np.array(
                 [
-                    rng.uniform(8, 40), rng.uniform(-8, 8),
-                    rng.uniform(-1.2, -0.6),
-                    rng.uniform(3.6, 4.6), rng.uniform(1.55, 1.75),
-                    rng.uniform(1.4, 1.7), rng.uniform(-np.pi, np.pi),
+                    cxy[0], cxy[1], rng.uniform(*zr),
+                    rng.uniform(*lr), rng.uniform(*wr), rng.uniform(*hr),
+                    rng.uniform(-np.pi, np.pi),
                 ],
                 np.float32,
             )
-            sl = slice(g * per, (g + 1) * per)
-            m = sl.stop - sl.start
-            pts[sl, :3] = sample_car_points(box, m, rng)
+            m = max(48, int(per_car * frac))
+            sl = slice(off, off + m)
+            off += m
+            pts[sl, :3] = sampler(box, m, rng)
             cam = box_np_ops.boxes3d_lidar_to_kitti_camera(
                 box[None], calib
             )[0]
@@ -140,9 +245,10 @@ def build_tree(root: Path, frames: int, train_frac: float, seed: int,
                 max(img[2], img[0] + 80), max(img[3], img[1] + 60),
             ]
             lines.append(
-                "Car 0.00 0 %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f "
+                "%s 0.00 0 %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f "
                 "%.2f %.2f %.2f %.2f"
                 % (
+                    cls_name,
                     -np.arctan2(-box[1], box[0]) + cam[6],
                     img[0], img[1], img[2], img[3],
                     cam[4], cam[5], cam[3],
@@ -172,12 +278,14 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--points", type=int, default=3000)
     ap.add_argument("--cars", type=int, default=2)
+    ap.add_argument("--peds", type=int, default=0)
+    ap.add_argument("--cyclists", type=int, default=0)
     args = ap.parse_args()
 
     root = Path(args.out)
     tr, va = build_tree(
         root, args.frames, args.train_frac, args.seed, args.points,
-        args.cars,
+        args.cars, args.peds, args.cyclists,
     )
     print(f"tree at {root}: {len(tr)} train / {len(va)} val frames")
 
@@ -190,8 +298,13 @@ def main():
     )
     dataset_cfg["DATA_PATH"] = str(root)
     dataset_cfg.pop("DATA_AUGMENTOR", None)
+    classes = ["Car"]
+    if args.peds:
+        classes.append("Pedestrian")
+    if args.cyclists:
+        classes.append("Cyclist")
     create_infos(
-        KittiDataset, Config(dataset_cfg), ["Car"], str(root), workers=2
+        KittiDataset, Config(dataset_cfg), classes, str(root), workers=2
     )
     print("infos + gt database written")
 

@@ -67,6 +67,10 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--dtype", default=None,
                     help="COMPUTE_DTYPE override (e.g. bfloat16)")
+    ap.add_argument("--binned", default=None, choices=("0", "1"),
+                    help="override SA_CONFIG.BINNED_QUERY")
+    ap.add_argument("--bin_cap", type=int, default=None,
+                    help="override SA_CONFIG.BIN_CELL_CAP")
     args = ap.parse_args()
 
     import jax
@@ -84,6 +88,16 @@ def main():
     model_cfg = copy.deepcopy(dict(cfg.MODEL))
     if args.dtype:
         model_cfg["COMPUTE_DTYPE"] = args.dtype
+    if (args.binned is not None or args.bin_cap is not None) \
+            and "BACKBONE_3D" in model_cfg:
+        sa = dict(model_cfg["BACKBONE_3D"].get("SA_CONFIG", {}))
+        if args.binned is not None:
+            sa["BINNED_QUERY"] = args.binned == "1"
+        if args.bin_cap is not None:
+            sa["BIN_CELL_CAP"] = args.bin_cap
+        bb = dict(model_cfg["BACKBONE_3D"])
+        bb["SA_CONFIG"] = sa
+        model_cfg["BACKBONE_3D"] = bb
     pc = tuple(cfg.DATA_CONFIG.POINT_CLOUD_RANGE)
     spec = DatasetSpec(
         class_names=tuple(cfg.CLASS_NAMES), point_feature_dim=4,
