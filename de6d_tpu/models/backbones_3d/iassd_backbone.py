@@ -197,6 +197,7 @@ class IASSD_Backbone(nn.Module):
                         int(sa.get("BIN_CELL_CAP", 128))
                         if sa.get("BINNED_QUERY", True) else 0
                     ),
+                    bin_spill_cap=int(sa.get("BIN_SPILL_CAP", 256)),
                 ))
             elif ltype == "Vote_Layer":
                 modules.append(VoteLayer(

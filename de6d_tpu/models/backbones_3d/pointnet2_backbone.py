@@ -53,6 +53,7 @@ def _build_sa_stack(model_cfg, input_channels):
         int(sa_cfg.get("BIN_CELL_CAP", 128))
         if sa_cfg.get("BINNED_QUERY", True) else 0
     )
+    spill_cap = int(sa_cfg.get("BIN_SPILL_CAP", 256))
 
     layers = []
     channel_in = input_channels - 3
@@ -83,6 +84,7 @@ def _build_sa_stack(model_cfg, input_channels):
                 aggregation_mlp=agg,
                 confidence_mlp=conf,
                 bin_cell_cap=binned_cap,
+                bin_spill_cap=spill_cap,
             )
         )
         skip_channels.append(channel_out)

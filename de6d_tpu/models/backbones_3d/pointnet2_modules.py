@@ -135,10 +135,13 @@ class PointnetSAModuleFSMSG(nn.Module):
     # spatially binned ball query (ops.binned): non-empty pc_range
     # enables one shared cell-sort + 3x3-window candidate pruning for
     # all MSG scales, replacing the per-scale brute-force (M, N)
-    # distance sweep. Exact: falls back to brute force in-graph (one
-    # lax.cond) if any cell overflows bin_cell_cap.
+    # distance sweep. Exact: beyond-cap points land in a global spill
+    # table every window also scans (ops.binned docstring); the
+    # in-graph brute fallback (one lax.cond) fires only if the SPILL
+    # overflows bin_spill_cap — not on the first dense cell.
     pc_range: tuple = ()
     bin_cell_cap: int = 128
+    bin_spill_cap: int = 256
 
     def _scale_tuples(self):
         """Static (radii, inner radii, nsamples) tuples per scale."""
@@ -161,7 +164,8 @@ class PointnetSAModuleFSMSG(nn.Module):
         gx, gy = binned.grid_dims(
             self.pc_range, max(float(r) for r in self.radii)
         )
-        return gx * gy >= 64 and 9 * self.bin_cell_cap < n
+        cand = 9 * self.bin_cell_cap + max(0, int(self.bin_spill_cap))
+        return gx * gy >= 64 and cand < n
 
     def _query_all_scales(self, xyz, new_xyz, valid, new_valid):
         """(idx, cnt) per scale — binned when it prunes, else brute."""
@@ -183,6 +187,7 @@ class PointnetSAModuleFSMSG(nn.Module):
             xyz, new_xyz, radii, nsamples, valid, new_valid,
             radius_in_list=r_ins, pc_range=tuple(self.pc_range),
             cell_cap=int(self.bin_cell_cap),
+            spill_cap=int(self.bin_spill_cap),
         )
         return jax.lax.cond(
             jnp.max(overflow) > 0,
@@ -256,7 +261,7 @@ class PointnetSAModuleFSMSG(nn.Module):
                 int(self.bin_cell_cap),
             )
             pooled_t, cnt_t = jax.lax.cond(
-                jnp.max(over) > 0,
+                jnp.max(over) > int(self.bin_spill_cap),
                 lambda _: binned.brute_sa_infer(
                     xyz, features, new_xyz, folded, valid, new_valid,
                     **common,
@@ -264,7 +269,8 @@ class PointnetSAModuleFSMSG(nn.Module):
                 lambda _: binned.binned_sa_infer(
                     xyz, features, new_xyz, folded, valid, new_valid,
                     pc_range=tuple(self.pc_range),
-                    cell_cap=int(self.bin_cell_cap), **common,
+                    cell_cap=int(self.bin_cell_cap),
+                    spill_cap=int(self.bin_spill_cap), **common,
                 ),
                 None,
             )

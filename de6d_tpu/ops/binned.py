@@ -41,9 +41,15 @@ Design notes (TPU cost model)
 * The per-center window fetch gathers 9 CELL rows per center
   (M*9 rows of cap*16 B), not M*K point rows — row count is the TPU
   gather currency (fused-wide-gather lesson, ops/ball_query.py).
-* Overflowing cells (population > cap) would silently break parity,
-  so the op returns the overflow count; callers assert/monitor it and
-  cap defaults carry headroom.
+* Overflowing cells (population > cap) spill into a global SPILL
+  table of ``spill_cap`` rows appended to every window's candidate
+  set. Exactness is preserved because a point lives either in its
+  cell's first-``cap`` rows or in the spill — never both — so
+  candidate original indices stay unique and the top-k select is
+  unchanged. Only when the spill itself overflows (returned overflow
+  > 0) do callers need the brute fallback; that turns the former
+  any-cell-overflow fallback CLIFF (one dense cell used to pay the
+  full brute path) into a graceful +spill_cap-column cost.
 """
 
 from __future__ import annotations
@@ -53,6 +59,8 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+from . import voxelize as _vox
 
 IMAX = jnp.iinfo(jnp.int32).max
 
@@ -68,7 +76,7 @@ def grid_dims(pc_range, cell: float):
     jax.jit,
     static_argnames=(
         "radii", "nsamples", "pc_range", "cell_cap", "radius_in_list",
-        "center_chunk",
+        "center_chunk", "spill_cap",
     ),
 )
 def binned_msg_query(
@@ -82,6 +90,7 @@ def binned_msg_query(
     pc_range: tuple = None,
     cell_cap: int = 128,
     center_chunk: int = 1024,
+    spill_cap: int = 256,
 ):
     """Ball query for every scale of an MSG layer in one pass.
 
@@ -93,13 +102,15 @@ def binned_msg_query(
         valid_mask / new_valid_mask: optional (B, N) / (B, M) bools.
         radius_in_list: per-scale inner radii (annulus; default 0).
         pc_range: static (x0, y0, z0, x1, y1, z1) binning extent.
-        cell_cap: static max points per cell (overflow reported).
+        cell_cap: static max points per cell (excess spills).
         center_chunk: centers processed per lax.map step.
+        spill_cap: static size of the global spill table appended to
+            every window's candidates (0 disables spilling).
 
     Returns:
         list of (idx (B, M, ns), cnt (B, M)) per scale — bit-identical
         to ops.ball_query.ball_query — and overflow (B,) int32: number
-        of points dropped from candidate tables (0 ==> exact).
+        of points dropped AFTER spilling (0 ==> exact).
     """
     assert pc_range is not None, "binned_msg_query needs a static pc_range"
     if radius_in_list is None:
@@ -128,9 +139,11 @@ def binned_msg_query(
 
     def single(xyz_i, new_xyz_i, valid_i, new_valid_i):
         cx, cy = cell_ids(xyz_i)
-        key = jnp.where(valid_i, cy * gx + cx, IMAX)
-        order = jnp.argsort(key, stable=True).astype(jnp.int32)
-        sorted_key = key[order]
+        # packed single-uint32 sort when (g, n) fit in 32 bits —
+        # same stable semantics, half the sort payload (voxelize.py)
+        order, sorted_key = _vox.stable_cell_sort(
+            cy * gx + cx, valid_i, g
+        )
         # per-cell start offsets in the sorted stream (G+1 searchsorted
         # over a sorted N-vector — one fused binary-search sweep)
         starts = jnp.searchsorted(
@@ -140,9 +153,9 @@ def binned_msg_query(
             jnp.clip(sorted_key, 0, g)
         ]
         keep = (sorted_key != IMAX) & (rank < cap)
-        overflow_i = jnp.sum(
-            ((sorted_key != IMAX) & (rank >= cap)).astype(jnp.int32)
-        )
+        spilled = (sorted_key != IMAX) & (rank >= cap)
+        n_spill = jnp.sum(spilled.astype(jnp.int32))
+        overflow_i = jnp.maximum(n_spill - spill_cap, 0)
 
         # bucket table: (G*cap + 1, 4) rows of [x, y, z, orig_idx]; the
         # trailing sentinel row (also the drop target) is "no point"
@@ -158,6 +171,19 @@ def binned_msg_query(
         tbl = jnp.full((g * cap + 1, 4), -1.0, xyz_i.dtype)
         tbl = tbl.at[:, :3].set(1e9)  # far away: never in any ball
         tbl = tbl.at[slot].set(row, mode="drop")
+        # global spill table: beyond-cap rows compact into spill_cap
+        # slots every window also scans; a point is in its cell's
+        # first-cap rows XOR here, so candidate indices stay unique
+        if spill_cap > 0:
+            spos = jnp.cumsum(spilled.astype(jnp.int32)) - 1
+            sslot = jnp.where(spilled & (spos < spill_cap),
+                              spos, spill_cap)
+            spill_tbl = jnp.full((spill_cap + 1, 4), -1.0, xyz_i.dtype)
+            spill_tbl = spill_tbl.at[:, :3].set(1e9)
+            spill_tbl = spill_tbl.at[sslot].set(row, mode="drop")
+            spill_tbl = spill_tbl[:spill_cap]
+        else:
+            spill_tbl = None
 
         # 9-cell windows per center; out-of-grid neighbours hit the
         # sentinel row (duplicating a clamped neighbour would repeat
@@ -188,6 +214,13 @@ def binned_msg_query(
             wc, ctr, cv = args  # (chunk, 9), (chunk, 3), (chunk,)
             cand = tbl_cells[wc]  # (chunk, 9, cap, 4)
             cand = cand.reshape(chunk, 9 * cap, 4)
+            if spill_tbl is not None:
+                cand = jnp.concatenate(
+                    [cand,
+                     jnp.broadcast_to(spill_tbl[None],
+                                      (chunk, spill_cap, 4))],
+                    axis=1,
+                )
             # EXACT same fp32 arithmetic as the oracle's
             # _pairwise_sqdist (|c|^2 + |p|^2 - 2 c.p, clamped) — the
             # naive sum((p-c)^2) rounds differently and flips points
@@ -323,7 +356,7 @@ def brute_sa_infer(
     jax.jit,
     static_argnames=(
         "radii", "nsamples", "radius_in_list", "pc_range", "cell_cap",
-        "center_chunk", "use_xyz", "pool_method", "dtype",
+        "center_chunk", "use_xyz", "pool_method", "dtype", "spill_cap",
     ),
 )
 def binned_sa_infer(
@@ -331,7 +364,7 @@ def binned_sa_infer(
     radii: tuple, nsamples: tuple, radius_in_list: tuple,
     pc_range: tuple, cell_cap: int = 128, center_chunk: int = 128,
     use_xyz: bool = True, pool_method: str = "max_pool",
-    dtype=jnp.float32,
+    dtype=jnp.float32, spill_cap: int = 256,
 ):
     """Fused multi-scale SA inference: query + group + MLP + pool per
     center chunk, so the (B, M, ns, C) grouped tensor never reaches
@@ -341,9 +374,10 @@ def binned_sa_infer(
     cell-granular fetch serves every scale); per chunk: exact d² →
     first-nsample select (identical semantics to binned_msg_query) →
     local gather → folded-affine MLP (BN is affine at inference,
-    SharedMLP.folded) → masked pool. Assumes no cell overflow — the
-    caller conds on :func:`cell_overflow` and falls back to
-    :func:`brute_sa_infer`.
+    SharedMLP.folded) → masked pool. Beyond-cap points land in the
+    global spill table (exact, see module docstring); the caller
+    conds on :func:`cell_overflow` ``> spill_cap`` and falls back to
+    :func:`brute_sa_infer` only when the spill itself overflows.
 
     Match: the reference's ball_query+group+SharedMLP inference path
     (core/pcdet/ops/pointnet2/pointnet2_batch/pointnet2_modules.py:358-494),
@@ -377,9 +411,11 @@ def binned_sa_infer(
 
     def single(xyz_i, feat_i, new_xyz_i, valid_i, new_valid_i):
         cx, cy = cell_ids(xyz_i)
-        key = jnp.where(valid_i, cy * gx + cx, IMAX)
-        order = jnp.argsort(key, stable=True).astype(jnp.int32)
-        sorted_key = key[order]
+        # packed single-uint32 sort when (g, n) fit in 32 bits —
+        # same stable semantics, half the sort payload (voxelize.py)
+        order, sorted_key = _vox.stable_cell_sort(
+            cy * gx + cx, valid_i, g
+        )
         starts = jnp.searchsorted(
             sorted_key, jnp.arange(g + 1, dtype=jnp.int32)
         ).astype(jnp.int32)
@@ -387,6 +423,7 @@ def binned_sa_infer(
             jnp.clip(sorted_key, 0, g)
         ]
         keep = (sorted_key != IMAX) & (rank < cap)
+        spilled = (sorted_key != IMAX) & (rank >= cap)
         slot = jnp.where(
             keep, jnp.clip(sorted_key, 0, g - 1) * cap + rank, g * cap + 1
         )
@@ -398,6 +435,17 @@ def binned_sa_infer(
         tbl = tbl.at[:, :3].set(1e9)
         tbl = tbl.at[:, 3].set(-1.0)
         tbl = tbl.at[slot].set(row, mode="drop")
+        if spill_cap > 0:
+            spos = jnp.cumsum(spilled.astype(jnp.int32)) - 1
+            sslot = jnp.where(spilled & (spos < spill_cap),
+                              spos, spill_cap)
+            spill_tbl = jnp.zeros((spill_cap + 1, d_cols), jnp.float32)
+            spill_tbl = spill_tbl.at[:, :3].set(1e9)
+            spill_tbl = spill_tbl.at[:, 3].set(-1.0)
+            spill_tbl = spill_tbl.at[sslot].set(row, mode="drop")
+            spill_tbl = spill_tbl[:spill_cap]
+        else:
+            spill_tbl = None
         tbl_cells = jnp.concatenate(
             [tbl, jnp.broadcast_to(tbl[-1:], (cap - 1, d_cols))], axis=0
         ).reshape(g + 1, cap, d_cols)
@@ -421,6 +469,13 @@ def binned_sa_infer(
         def per_chunk(args):
             wc, ctr, cv = args
             cand = tbl_cells[wc].reshape(chunk, 9 * cap, d_cols)
+            if spill_tbl is not None:
+                cand = jnp.concatenate(
+                    [cand,
+                     jnp.broadcast_to(spill_tbl[None],
+                                      (chunk, spill_cap, d_cols))],
+                    axis=1,
+                )
             cxyz = cand[..., :3]
             na = jnp.sum(ctr * ctr, axis=-1)
             nb = jnp.sum(cxyz * cxyz, axis=-1)

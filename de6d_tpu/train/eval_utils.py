@@ -51,6 +51,7 @@ def eval_one_epoch(model, params, batch_stats, loader, dataset, model_cfg,
     det_annos = []
     recall_totals = {}
     n_frames = 0
+    batch_times = []  # (wall_s, batch_size) per batch
     t_start = time.perf_counter()
     output_path = None
     if result_dir is not None:
@@ -62,9 +63,13 @@ def eval_one_epoch(model, params, batch_stats, loader, dataset, model_cfg,
 
     from ..models import device_batch as _device_batch
     for batch in loader:
+        t_b = time.perf_counter()
         dev_batch = _device_batch(batch)
         post, recalls = step(params, batch_stats, dev_batch)
         post = jax.tree_util.tree_map(np.asarray, post)
+        batch_times.append(
+            (time.perf_counter() - t_b, batch["batch_size"])
+        )
         for k, v in recalls.items():
             recall_totals[k] = recall_totals.get(k, 0) + int(v)
         pred_dicts = []
@@ -87,6 +92,20 @@ def eval_one_epoch(model, params, batch_stats, loader, dataset, model_cfg,
         logger.info(
             f"eval: {n_frames} frames, {sec_per_example * 1e3:.1f} ms/frame"
         )
+        if len(batch_times) > 1:
+            # per-frame median over full-size batches: compiles (first
+            # batch, plus the odd-shaped LAST batch on uneven splits,
+            # 60-100 s each through the TPU tunnel) land in the mean,
+            # not here
+            bmax = max(bs for _, bs in batch_times)
+            per = sorted(
+                s / bs for s, bs in batch_times[1:] if bs == bmax
+            )
+            if per:
+                logger.info(
+                    f"eval steady-state p50 (full batches, excl. "
+                    f"compile): {per[len(per) // 2] * 1e3:.1f} ms/frame"
+                )
 
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils

@@ -144,16 +144,50 @@ def test_parity_masks_and_empty_balls():
            valid=valid, cvalid=cvalid)
 
 
-def test_overflow_reported():
+def test_overflow_reported_after_spill():
     rng = np.random.RandomState(5)
     pts = np.full((1, 512, 3), 10.0, np.float32)  # all in one cell
     pts += rng.normal(0, 0.01, pts.shape).astype(np.float32)
     ctrs = pts[:, :8].copy()
     _, overflow = binned_msg_query(
         jnp.asarray(pts), jnp.asarray(ctrs), (0.8,), (16,),
-        pc_range=PC_RANGE, cell_cap=64,
+        pc_range=PC_RANGE, cell_cap=64, spill_cap=128,
+    )
+    # 512 - 64 = 448 spill 128 -> 320 dropped
+    assert int(np.asarray(overflow)[0]) == 512 - 64 - 128
+    _, overflow = binned_msg_query(
+        jnp.asarray(pts), jnp.asarray(ctrs), (0.8,), (16,),
+        pc_range=PC_RANGE, cell_cap=64, spill_cap=0,
     )
     assert int(np.asarray(overflow)[0]) == 512 - 64
+
+
+def test_spill_parity_dense_cells():
+    """Cells overflowing the cap route excess points through the
+    global spill table; results must stay bit-identical to the
+    oracle as long as the spill holds them (overflow == 0)."""
+    rng = np.random.RandomState(6)
+    pts = _random_cloud(rng, 2, 1024, clustered=True)
+    ctrs = pts[:, rng.choice(1024, 128, replace=False)].copy()
+    radii, nsamples = (0.4, 0.8), (16, 32)
+    pts = _scrub_boundaries(pts, ctrs, radii)
+    res, overflow = binned_msg_query(
+        jnp.asarray(pts), jnp.asarray(ctrs), radii, nsamples,
+        pc_range=PC_RANGE, cell_cap=8, spill_cap=1024,
+    )
+    # tiny cap guarantees the spill is actually exercised
+    from de6d_tpu.ops.binned import cell_overflow
+    spilled = cell_overflow(
+        jnp.asarray(pts), jnp.ones((2, 1024), bool), PC_RANGE, 0.8, 8
+    )
+    assert int(np.asarray(spilled).max()) > 0
+    assert int(np.max(np.asarray(overflow))) == 0
+    for (idx, cnt), r, ns in zip(res, radii, nsamples):
+        ref_idx, ref_cnt = bq.ball_query(
+            jnp.asarray(pts), jnp.asarray(ctrs), float(r), int(ns)
+        )
+        np.testing.assert_array_equal(np.asarray(cnt), np.asarray(ref_cnt))
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
 
 
 def _sa_fixture():
@@ -179,9 +213,16 @@ def _sa_fixture():
     )
     brute = PointnetSAModuleFSMSG(**kw)
     binned64 = PointnetSAModuleFSMSG(pc_range=PC_RANGE, bin_cell_cap=64, **kw)
-    binned2 = PointnetSAModuleFSMSG(pc_range=PC_RANGE, bin_cell_cap=2, **kw)
+    # spill_cap=0: any dense cell forces the in-graph brute fallback
+    binned2 = PointnetSAModuleFSMSG(
+        pc_range=PC_RANGE, bin_cell_cap=2, bin_spill_cap=0, **kw
+    )
+    # big spill: every beyond-cap point rides the spill table instead
+    spill2 = PointnetSAModuleFSMSG(
+        pc_range=PC_RANGE, bin_cell_cap=2, bin_spill_cap=1500, **kw
+    )
     params = brute.init(jax.random.PRNGKey(0), xyz, feats, valid, train=False)
-    return (xyz, feats, valid), params, (brute, binned64, binned2)
+    return (xyz, feats, valid), params, (brute, binned64, binned2, spill2)
 
 
 def _cmp(ref, got, exact: bool):
@@ -199,8 +240,9 @@ def _cmp(ref, got, exact: bool):
 def test_sa_module_binned_parity_train():
     """Training path (binned query selection, standard MLP): outputs
     must be bit-identical to the brute-force module — including the
-    in-graph overflow fallback (tiny cap)."""
-    args, params, (brute, binned64, binned2) = _sa_fixture()
+    in-graph overflow fallback (tiny cap + no spill) and the spill
+    path (tiny cap + big spill)."""
+    args, params, (brute, binned64, binned2, spill2) = _sa_fixture()
 
     def run(m):
         out, _ = m.apply(
@@ -211,14 +253,17 @@ def test_sa_module_binned_parity_train():
     ref = run(brute)
     _cmp(ref, run(binned64), exact=True)
     _cmp(ref, run(binned2), exact=True)
+    _cmp(ref, run(spill2), exact=True)
 
 
 def test_sa_module_fused_eval_parity():
     """Eval path: the fused binned SA (BN folded to affine, MLP+pool
     inside the chunk loop) must match the standard eval path to fp32
-    fold-rounding tolerance; overflow (cap=2) routes through the
-    brute_sa_infer fallback with the same folded math."""
-    args, params, (brute, binned64, binned2) = _sa_fixture()
+    fold-rounding tolerance; cap=2/spill=0 routes through the
+    brute_sa_infer fallback, cap=2/spill=1500 through the fused
+    spill-table path — same folded math either way."""
+    args, params, (brute, binned64, binned2, spill2) = _sa_fixture()
     ref = brute.apply(params, *args, train=False)
     _cmp(ref, binned64.apply(params, *args, train=False), exact=False)
     _cmp(ref, binned2.apply(params, *args, train=False), exact=False)
+    _cmp(ref, spill2.apply(params, *args, train=False), exact=False)
