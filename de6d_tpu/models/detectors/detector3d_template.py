@@ -199,7 +199,7 @@ class Detector3DTemplate(nn.Module):
         def vox_one(p, m):
             return voxelize_ops.voxelize(
                 p, m,
-                list(spec.point_cloud_range), list(spec.voxel_size),
+                tuple(spec.point_cloud_range), tuple(spec.voxel_size),
                 spec.max_voxels, spec.max_points_per_voxel,
             )
 

@@ -58,10 +58,81 @@ def _segment_ranks(keys):
     return rank
 
 
-@functools.partial(
-    jax.jit, static_argnames=("max_voxels", "max_points_per_voxel")
-)
+def packed_sort_bits(n_cells: int, n: int):
+    """Static bit budget for packing (cell_key, point_idx) into one
+    uint32: returns (key_bits_unused, idx_bits) or None when they
+    don't fit. Sentinel key = n_cells (sorts after every valid key)."""
+    idx_bits = max(1, (n - 1).bit_length())
+    key_bits = max(1, int(n_cells).bit_length())
+    if key_bits + idx_bits > 32:
+        return None
+    return key_bits, idx_bits
+
+
+def stable_cell_sort(key, ok, n_cells: int):
+    """Stable (order, sorted_keys) for int32 cell keys in [0, n_cells)
+    with BIG as the invalid sentinel. When the static cell count and N
+    fit in 32 bits together, sorts ONE packed uint32 array (key in the
+    high bits, point index in the low bits — stability from the index
+    tie-break) instead of argsort's (key, iota) two-array comparator
+    sort: half the payload, measurably faster on TPU where the bitonic
+    sort cost scales with payload width. Falls back to stable argsort
+    otherwise."""
+    n = key.shape[0]
+    bits = packed_sort_bits(n_cells, n)
+    if bits is None:
+        key = jnp.where(ok, key, BIG)
+        order = jnp.argsort(key, stable=True).astype(jnp.int32)
+        return order, key[order]
+    _, idx_bits = bits
+    sent = jnp.uint32(n_cells)
+    k32 = jnp.where(ok, key.astype(jnp.uint32), sent)
+    packed = (k32 << idx_bits) | jnp.arange(n, dtype=jnp.uint32)
+    packed = jax.lax.sort(packed)
+    order = (packed & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
+    sk = (packed >> idx_bits).astype(jnp.int32)
+    sorted_keys = jnp.where(sk == n_cells, BIG, sk)
+    return order, sorted_keys
+
+
+def _stable_key_sort(key, ok, pc_range, voxel_size):
+    """stable_cell_sort with the cell count derived from the static
+    grid geometry."""
+    import numpy as _np
+
+    lo = _np.asarray(pc_range[0:3], _np.float64)
+    hi = _np.asarray(pc_range[3:6], _np.float64)
+    vs = _np.asarray(voxel_size, _np.float64)
+    grid = _np.floor((hi - lo) / vs + 0.5).astype(_np.int64)
+    return stable_cell_sort(key, ok, int(grid[0] * grid[1] * grid[2]))
+
+
 def voxelize(
+    points,
+    valid_mask,
+    pc_range,
+    voxel_size,
+    max_voxels: int,
+    max_points_per_voxel: int,
+):
+    """List-friendly wrapper: grid geometry must be static (see
+    :func:`_voxelize`); converts pc_range / voxel_size to hashable
+    tuples so call sites may keep passing python lists."""
+    return _voxelize(
+        points, valid_mask,
+        tuple(float(x) for x in pc_range),
+        tuple(float(x) for x in voxel_size),
+        max_voxels, max_points_per_voxel,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pc_range", "voxel_size", "max_voxels", "max_points_per_voxel",
+    ),
+)
+def _voxelize(
     points,
     valid_mask,
     pc_range,
@@ -74,7 +145,11 @@ def voxelize(
     Args:
         points: (N, 3+C) — xyz + features.
         valid_mask: (N,) bool.
-        pc_range / voxel_size: python lists (static) or arrays.
+        pc_range / voxel_size: static python tuples (grid geometry is
+            config-time constant; static lets the key sort pack cell
+            key + point index into ONE uint32 when they fit — half the
+            sort payload of argsort's (key, iota) pair, stability free
+            from the index tie-break).
         max_voxels, max_points_per_voxel: static capacities.
 
     Returns dict:
@@ -97,14 +172,13 @@ def voxelize(
     key = (ijk[:, 2] * grid[1] + ijk[:, 1]) * grid[0] + ijk[:, 0]
     key = jnp.where(ok, key, BIG)
 
-    # single-sort pipeline: one argsort yields (a) the unique key list,
+    # single-sort pipeline: one sort yields (a) the unique key list,
     # (b) every point's voxel slot, and (c) the per-voxel start offsets
     # in the sorted order. The (V, P, C) buffers are then built with
     # GATHERS from the sorted points (voxel v's points are contiguous at
     # [starts[v], starts[v+1])) — TPU scatters serialize, gathers don't;
     # only small (N,)→(V,) int32 scatters remain.
-    order = jnp.argsort(key, stable=True)
-    sorted_keys = key[order]
+    order, sorted_keys = _stable_key_sort(key, ok, pc_range, voxel_size)
     pos = jnp.arange(n, dtype=jnp.int32)
     is_start = jnp.concatenate(
         [sorted_keys[:1] != BIG, sorted_keys[1:] != sorted_keys[:-1]]
