@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--out", default="viz_out")
+    ap.add_argument("--turntable", type=int, default=0, metavar="N",
+                    help="also save an N-frame rotating-view GIF per "
+                         "frame (headless open3d-spin equivalent)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--set", dest="set_cfgs", default=None,
                     nargs=argparse.REMAINDER)
@@ -122,6 +125,11 @@ def main():
         viz_utils.save_three_view_png(
             pts, boxes, out_dir / f"{fid}_3view.png", gt_boxes=gt
         )
+        if args.turntable:
+            viz_utils.save_turntable_gif(
+                pts, boxes, out_dir / f"{fid}_spin.gif", gt_boxes=gt,
+                scores=scores, n_frames=args.turntable,
+            )
         if "point_coords_list" in keep:
             viz_utils.save_sampling_png(
                 pts, [c[0] for c in keep["point_coords_list"]],

@@ -10,6 +10,7 @@ front) view for full-pose boxes.
 from __future__ import annotations
 
 import numpy as np
+from pathlib import Path
 
 from . import box_np_ops
 
@@ -150,6 +151,64 @@ def save_wireframe_3d_png(points, boxes, out_path, gt_boxes=None,
     ax.set_box_aspect(tuple(span / span.max()))
     fig.savefig(out_path, dpi=120, bbox_inches="tight")
     plt.close(fig)
+
+
+def save_turntable_gif(points, boxes, out_path, gt_boxes=None,
+                       scores=None, n_frames=24, elev=28, fps=8,
+                       point_size=0.3, max_points=30000):
+    """Animated turntable of the 3-D wireframe scene — the headless
+    equivalent of the reference's interactive open3d spin + gif
+    recording (experiments/viz/open3d_vis_utils.py rotating-view
+    capture path): renders ``n_frames`` azimuth steps of the same
+    lineset scene and folds them into one GIF via PIL (same encoder
+    as small_utils image2gif)."""
+    import io
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from PIL import Image
+
+    pts = np.asarray(points)
+    if len(pts) > max_points:
+        pts = pts[:: len(pts) // max_points + 1]
+    fig = plt.figure(figsize=(8, 6))
+    ax = fig.add_subplot(111, projection="3d")
+    ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=point_size,
+               c=pts[:, 2], cmap="viridis", linewidths=0, alpha=0.6)
+
+    def draw(bxs, color):
+        if bxs is None or len(bxs) == 0:
+            return
+        for c in _corners_any(np.asarray(bxs)):
+            for a, b in _EDGES:
+                ax.plot([c[a, 0], c[b, 0]], [c[a, 1], c[b, 1]],
+                        [c[a, 2], c[b, 2]], color=color, linewidth=1.0)
+
+    draw(gt_boxes, "#2ca02c")
+    draw(boxes, "#d62728")
+    if scores is not None and boxes is not None and len(boxes):
+        for b, s in zip(np.asarray(boxes), np.asarray(scores)):
+            ax.text(b[0], b[1], b[2] + b[5], f"{s:.2f}",
+                    fontsize=7, color="#d62728")
+    span = pts[:, :3].max(0) - pts[:, :3].min(0) + 1e-6
+    ax.set_box_aspect(tuple(span / span.max()))
+
+    frames = []
+    for i in range(n_frames):
+        ax.view_init(elev=elev, azim=-180 + 360.0 * i / n_frames)
+        buf = io.BytesIO()
+        fig.savefig(buf, format="png", dpi=80)
+        buf.seek(0)
+        frames.append(Image.open(buf).convert("P"))
+    plt.close(fig)
+    Path(out_path).parent.mkdir(parents=True, exist_ok=True)
+    frames[0].save(
+        out_path, save_all=True, append_images=frames[1:],
+        duration=int(1000 / fps), loop=0,
+    )
+    return out_path
 
 
 def save_sampling_png(points, coords_list, out_path, valid_list=None,
