@@ -142,3 +142,30 @@ def test_segment_ops(rng):
     mx = voxelize.segment_max(vals, ids, 4)
     np.testing.assert_allclose(np.asarray(mx)[1], vals[2:5].max(0), atol=1e-6)
     np.testing.assert_allclose(np.asarray(mx)[3], 0.0)
+
+
+def test_stable_cell_sort_packed_vs_fallback():
+    """Packed uint32 path (key+idx fit in 32 bits) must agree exactly
+    with the argsort fallback, including stability on heavy key ties
+    and the invalid-sentinel tail."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(11)
+    n = 4096
+    key = rng.randint(0, 37, n).astype(np.int32)  # heavy ties
+    ok = rng.rand(n) > 0.2
+    o_p, k_p = voxelize.stable_cell_sort(jnp.asarray(key), jnp.asarray(ok), 37)
+    # force the fallback: cell count too large to pack next to idx
+    o_f, k_f = voxelize.stable_cell_sort(
+        jnp.asarray(key), jnp.asarray(ok), 1 << 24
+    )
+    np.testing.assert_array_equal(np.asarray(o_p), np.asarray(o_f))
+    np.testing.assert_array_equal(np.asarray(k_p), np.asarray(k_f))
+    # stability: equal keys keep ascending original order
+    op, kp = np.asarray(o_p), np.asarray(k_p)
+    for v in range(37):
+        grp = op[kp == v]
+        assert np.all(np.diff(grp) > 0)
+    # invalid rows sort to the tail as BIG
+    n_ok = int(ok.sum())
+    assert np.all(kp[n_ok:] == voxelize.BIG)
