@@ -370,14 +370,19 @@ def binned_sa_infer(
     center chunk, so the (B, M, ns, C) grouped tensor never reaches
     HBM at full size.
 
-    The candidate table carries features alongside xyz (one
-    cell-granular fetch serves every scale); per chunk: exact d² →
-    first-nsample select (identical semantics to binned_msg_query) →
-    local gather → folded-affine MLP (BN is affine at inference,
-    SharedMLP.folded) → masked pool. Beyond-cap points land in the
-    global spill table (exact, see module docstring); the caller
-    conds on :func:`cell_overflow` ``> spill_cap`` and falls back to
-    :func:`brute_sa_infer` only when the spill itself overflows.
+    The candidate table carries ONLY [x, y, z, orig_idx] (like
+    binned_msg_query); per chunk: exact d² → first-nsample select
+    (identical semantics to binned_msg_query) → feature gather from
+    the ORIGINAL (B, N, F) features by selected index — so the wide
+    feature columns are fetched for chunk·ns selected rows, not for
+    all 9·cap+spill candidates (at SA2 scale F=67: that cut the
+    candidate payload ~14× and was the difference between SA2 costing
+    more than SA1 and less) — → folded-affine MLP (BN is affine at
+    inference, SharedMLP.folded) → masked pool. Beyond-cap points land
+    in the global spill table (exact, see module docstring); the
+    caller conds on :func:`cell_overflow` ``> spill_cap`` and falls
+    back to :func:`brute_sa_infer` only when the spill itself
+    overflows.
 
     Match: the reference's ball_query+group+SharedMLP inference path
     (core/pcdet/ops/pointnet2/pointnet2_batch/pointnet2_modules.py:358-494),
@@ -391,8 +396,7 @@ def binned_sa_infer(
         valid_mask = jnp.ones((b, n), dtype=bool)
     if new_valid_mask is None:
         new_valid_mask = jnp.ones((b, m), dtype=bool)
-    feat_dim = 0 if features is None else features.shape[-1]
-    d_cols = 4 + feat_dim
+    d_cols = 4  # [x, y, z, orig_idx] — features fetched post-select
 
     cell = float(max(radii))
     gx, gy = grid_dims(pc_range, cell)
@@ -427,10 +431,9 @@ def binned_sa_infer(
         slot = jnp.where(
             keep, jnp.clip(sorted_key, 0, g - 1) * cap + rank, g * cap + 1
         )
-        cols = [xyz_i[order], order[:, None].astype(jnp.float32)]
-        if feat_i is not None:
-            cols.append(feat_i[order].astype(jnp.float32))
-        row = jnp.concatenate(cols, axis=-1)
+        row = jnp.concatenate(
+            [xyz_i[order], order[:, None].astype(jnp.float32)], axis=-1
+        )
         tbl = jnp.zeros((g * cap + 1, d_cols), jnp.float32)
         tbl = tbl.at[:, :3].set(1e9)
         tbl = tbl.at[:, 3].set(-1.0)
@@ -506,12 +509,19 @@ def binned_sa_infer(
                 )
                 sel = jnp.take_along_axis(
                     cand, pos_f[..., None], axis=1
-                )  # (chunk, ns, d_cols)
+                )  # (chunk, ns, 4)
                 parts = []
                 if use_xyz:
                     parts.append(sel[..., :3] - ctr[:, None, :])
                 if feat_i is not None:
-                    parts.append(sel[..., 4:])
+                    # fetch wide feature rows ONLY for the selected
+                    # points (orig_idx -1 = sentinel: clamp to row 0 —
+                    # that slot only occurs at cnt==0, whose pooled
+                    # output the ok-mask zeroes anyway)
+                    oidx = jnp.clip(
+                        sel[..., 3].astype(jnp.int32), 0, n - 1
+                    )
+                    parts.append(jnp.take(feat_i, oidx, axis=0))
                 grouped = (
                     parts[0] if len(parts) == 1
                     else jnp.concatenate(parts, axis=-1)

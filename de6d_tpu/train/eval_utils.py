@@ -61,15 +61,26 @@ def eval_one_epoch(model, params, batch_stats, loader, dataset, model_cfg,
             output_path = result_dir / "final_result" / "data"
             output_path.mkdir(parents=True, exist_ok=True)
 
+    from collections import deque
+
     from ..models import device_batch as _device_batch
-    for batch in loader:
-        t_b = time.perf_counter()
-        dev_batch = _device_batch(batch)
-        post, recalls = step(params, batch_stats, dev_batch)
+
+    # 2-deep pipeline: jax dispatch is async, so uploading + dispatching
+    # batch i+1 before fetching batch i's outputs overlaps host<->device
+    # transfer with device compute (the reference gets the same overlap
+    # from CUDA async streams + DataLoader prefetch; a serial
+    # upload->step->fetch loop pays transfer + compute in SUM, which
+    # through the TPU tunnel more than doubles ms/frame)
+    pending = deque()
+    last_done = t_start
+
+    def _drain_one():
+        nonlocal last_done, n_frames
+        batch, post, recalls = pending.popleft()
         post = jax.tree_util.tree_map(np.asarray, post)
-        batch_times.append(
-            (time.perf_counter() - t_b, batch["batch_size"])
-        )
+        now = time.perf_counter()
+        batch_times.append((now - last_done, batch["batch_size"]))
+        last_done = now
         for k, v in recalls.items():
             recall_totals[k] = recall_totals.get(k, 0) + int(v)
         pred_dicts = []
@@ -82,10 +93,19 @@ def eval_one_epoch(model, params, batch_stats, loader, dataset, model_cfg,
                     "pred_labels": post["pred_labels"][i, :cnt],
                 }
             )
-        det_annos += dataset.generate_prediction_dicts(
+        det_annos.extend(dataset.generate_prediction_dicts(
             batch, pred_dicts, class_names, output_path=output_path
-        )
+        ))
         n_frames += batch["batch_size"]
+
+    for batch in loader:
+        dev_batch = _device_batch(batch)
+        post, recalls = step(params, batch_stats, dev_batch)
+        pending.append((batch, post, recalls))
+        if len(pending) >= 2:
+            _drain_one()
+    while pending:
+        _drain_one()
 
     sec_per_example = (time.perf_counter() - t_start) / max(n_frames, 1)
     if logger:
