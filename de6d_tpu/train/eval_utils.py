@@ -48,6 +48,14 @@ def eval_one_epoch(model, params, batch_stats, loader, dataset, model_cfg,
     step = make_full_eval_step(
         model, post_cfg, len(class_names), thresh_list
     )
+    # device-commit the weights ONCE: host-numpy params passed to a
+    # jitted fn re-upload the full tree through the TPU tunnel on EVERY
+    # dispatch (~550 ms/batch for Det6D — measured 861 ms/batch eval
+    # p50 vs 310 ms device forward before this line; same lesson as
+    # bench.py's checkpoint commit)
+    params = jax.device_put(params)
+    if batch_stats:
+        batch_stats = jax.device_put(batch_stats)
     det_annos = []
     recall_totals = {}
     n_frames = 0
