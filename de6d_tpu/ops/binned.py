@@ -357,6 +357,7 @@ def brute_sa_infer(
     static_argnames=(
         "radii", "nsamples", "radius_in_list", "pc_range", "cell_cap",
         "center_chunk", "use_xyz", "pool_method", "dtype", "spill_cap",
+        "_ablate_select",
     ),
 )
 def binned_sa_infer(
@@ -365,6 +366,7 @@ def binned_sa_infer(
     pc_range: tuple, cell_cap: int = 128, center_chunk: int = 128,
     use_xyz: bool = True, pool_method: str = "max_pool",
     dtype=jnp.float32, spill_cap: int = 256,
+    _ablate_select: bool = False,
 ):
     """Fused multi-scale SA inference: query + group + MLP + pool per
     center chunk, so the (B, M, ns, C) grouped tensor never reaches
@@ -496,7 +498,15 @@ def binned_sa_infer(
                     base_ok & (d2 < r_out * r_out) & (d2 >= r_in * r_in)
                 )
                 skey = jnp.where(in_ball, orig, IMAX)
-                _, pos = jax.lax.top_k(-skey, ns)  # candidate positions
+                if _ablate_select:
+                    # WRONG-result probe branch (sa_probe cost
+                    # attribution): skip the exact top_k select
+                    pos = jnp.broadcast_to(
+                        jnp.arange(ns, dtype=jnp.int32)[None],
+                        (chunk, ns),
+                    )
+                else:
+                    _, pos = jax.lax.top_k(-skey, ns)  # candidate positions
                 cnt = jnp.minimum(
                     jnp.sum(in_ball, axis=-1), ns
                 ).astype(jnp.int32)

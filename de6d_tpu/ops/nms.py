@@ -346,7 +346,35 @@ def nms_candidates_batched(
     ):
         from .pallas.nms_fused import nms_keep_batched
 
-        keep = nms_keep_batched(cand[..., :7], counts_pre, float(thresh))
+        post_k = min(post_maxsize, pre)
+        k0 = 1024
+        if pre > k0:
+            # exact prefix cascade: greedy keep decisions for the
+            # score-descending prefix [0, k0) depend only on that
+            # prefix (suppression flows strictly high→low score), so
+            # if the prefix already keeps `post` boxes — or a sample
+            # has <= k0 live candidates — the first `post` selections
+            # are fully determined and the (pre, pre) mask work (16x
+            # at 4096→1024) never runs. One lax.cond falls back to the
+            # full-width kernel otherwise (worst-case path unchanged).
+            keep0 = nms_keep_batched(
+                cand[:, :k0, :7], jnp.minimum(counts_pre, k0),
+                float(thresh),
+            )
+            c0 = jnp.sum(keep0.astype(jnp.int32), axis=1)
+            done = jnp.all((c0 >= post_k) | (counts_pre <= k0))
+            keep = jax.lax.cond(
+                done,
+                lambda _: jnp.pad(keep0, ((0, 0), (0, pre - k0))),
+                lambda _: nms_keep_batched(
+                    cand[..., :7], counts_pre, float(thresh)
+                ),
+                None,
+            )
+        else:
+            keep = nms_keep_batched(
+                cand[..., :7], counts_pre, float(thresh)
+            )
     else:
         # fallback: per-sample mask + resolve (exact same semantics)
         def single(args):

@@ -131,6 +131,43 @@ def main():
         timed(fn, f"fused binned_sa_infer cap={cap} chunk={chunk}",
               lambda o: o[0][0][0, 0, 0])
 
+    # --- cost attribution inside the fused path (cap=128, chunk=128) ---
+    # identity fold: MLP cost removed, everything else identical
+    ident = tuple(
+        ((jnp.eye(3 + c_in, dtype=jnp.float32),
+          jnp.zeros((3 + c_in,), jnp.float32)),)
+        for _ in mlps
+    )
+    fn = jax.jit(lambda x: binned.binned_sa_infer(
+        x, feats, new_xyz, ident, None, None, radii=radii,
+        nsamples=nsamples, radius_in_list=r_ins,
+        pc_range=PC_RANGE, cell_cap=128, center_chunk=128,
+    ))
+    timed(fn, "ablate: identity MLP (no MLP cost)", lambda o: o[0][0][0, 0, 0])
+
+    # selection replaced by a static slice (WRONG results — pure cost
+    # attribution for the 3x top_k exact select)
+    fn = jax.jit(lambda x: binned.binned_sa_infer(
+        x, feats, new_xyz, folded, None, None, radii=radii,
+        nsamples=nsamples, radius_in_list=r_ins,
+        pc_range=PC_RANGE, cell_cap=128, center_chunk=128,
+        _ablate_select=True,
+    ))
+    timed(fn, "ablate: slice select (no top_k cost)",
+          lambda o: o[0][0][0, 0, 0])
+
+    # no feature fetch: use_xyz-only grouping (feature-gather cost)
+    fn = jax.jit(lambda x: binned.binned_sa_infer(
+        x, None, new_xyz, tuple(
+            tuple((w[:3] if wi == 0 else w, b) for wi, (w, b) in enumerate(f))
+            for f in folded
+        ), None, None, radii=radii,
+        nsamples=nsamples, radius_in_list=r_ins,
+        pc_range=PC_RANGE, cell_cap=128, center_chunk=128,
+    ))
+    timed(fn, "ablate: xyz-only (no feature gather)",
+          lambda o: o[0][0][0, 0, 0])
+
 
 if __name__ == "__main__":
     main()
