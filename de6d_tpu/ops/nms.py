@@ -356,10 +356,11 @@ def nms_candidates_batched(
             # has <= k0 live candidates — the first `post` selections
             # are fully determined and the (pre, pre) mask work (16x
             # at 4096→1024) never runs. One lax.cond falls back to the
-            # full-width kernel otherwise (worst-case path unchanged).
+            # full-width kernel otherwise (whose suppression work is
+            # itself bounded by post_k keeps — see nms_fused.py).
             keep0 = nms_keep_batched(
                 cand[:, :k0, :7], jnp.minimum(counts_pre, k0),
-                float(thresh),
+                float(thresh), post_k=post_k,
             )
             c0 = jnp.sum(keep0.astype(jnp.int32), axis=1)
             done = jnp.all((c0 >= post_k) | (counts_pre <= k0))
@@ -367,13 +368,14 @@ def nms_candidates_batched(
                 done,
                 lambda _: jnp.pad(keep0, ((0, 0), (0, pre - k0))),
                 lambda _: nms_keep_batched(
-                    cand[..., :7], counts_pre, float(thresh)
+                    cand[..., :7], counts_pre, float(thresh),
+                    post_k=post_k,
                 ),
                 None,
             )
         else:
             keep = nms_keep_batched(
-                cand[..., :7], counts_pre, float(thresh)
+                cand[..., :7], counts_pre, float(thresh), post_k=post_k,
             )
     else:
         # fallback: per-sample mask + resolve (exact same semantics)

@@ -252,6 +252,46 @@ def test_fused_nms_kernel_interpret(rng):
         np.testing.assert_array_equal(keep[i], ref_keep, err_msg=f"sample {i}")
 
 
+def test_fused_nms_post_k_truncation(rng):
+    """With post_k set, the fused kernel's flags must be EXACT greedy
+    keeps through the column block where the post_k-th keep lands and
+    all-zero afterwards — so a caller that selects the first post_k
+    keeps in score order (NMS_POST_MAXSIZE semantics,
+    ops/nms.py nms_candidates_batched) sees identical results."""
+    import jax.numpy as jnp
+    from de6d_tpu.ops.pallas.nms_fused import nms_keep_batched, BLK
+
+    b, p, post_k = 2, 512, 40
+    boxes = np.zeros((b, p, 7), np.float32)
+    # dense field so keeps accumulate slowly across many blocks
+    boxes[..., 0:2] = rng.uniform(-40, 40, (b, p, 2))
+    boxes[..., 3:5] = rng.uniform(1.5, 4, (b, p, 2))
+    boxes[..., 5] = 1.5
+    boxes[..., 6] = rng.uniform(-np.pi, np.pi, (b, p))
+    counts = np.array([p, p - 100], np.int32)
+
+    full = np.asarray(nms_keep_batched(
+        jnp.asarray(boxes), jnp.asarray(counts), 0.3, interpret=True
+    ))
+    trunc = np.asarray(nms_keep_batched(
+        jnp.asarray(boxes), jnp.asarray(counts), 0.3, post_k=post_k,
+        interpret=True,
+    ))
+    for i in range(b):
+        kept_idx = np.flatnonzero(full[i])
+        assert kept_idx.size > post_k, "test needs keeps beyond post_k"
+        # the block containing the post_k-th keep is the last one with
+        # any flags; everything through it must match the full run
+        crossing_block = kept_idx[post_k - 1] // BLK
+        hi = (crossing_block + 1) * BLK
+        np.testing.assert_array_equal(trunc[i, :hi], full[i, :hi])
+        assert not trunc[i, hi:].any()
+        # first post_k keeps agree ⇒ caller's selection is identical
+        np.testing.assert_array_equal(
+            np.flatnonzero(trunc[i])[:post_k], kept_idx[:post_k]
+        )
+
+
 def test_nms_candidates_batched_fallback(rng):
     """Off-TPU, nms_candidates_batched must equal lax.map of
     nms_candidates (the exact per-sample path)."""
