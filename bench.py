@@ -27,12 +27,15 @@ from __future__ import annotations
 
 import copy
 import json
+import os
 import statistics
 import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+_BENCH_T0 = time.perf_counter()
 
 
 BASELINE_SCANS_PER_SEC_PER_CHIP = 250.0  # 2000 / 8 chips (BASELINE.json)
@@ -377,7 +380,18 @@ def main():
             "trained_ckpt": assets is not None,
         }
     }
+    # the headline JSON line must land even under a caller timeout:
+    # each per-config entry costs a 60-100 s tunnel compile, so stop
+    # fanning out once the wall-clock budget is spent (BENCH_BUDGET_S,
+    # 0 = skip the matrix entirely)
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    t_bench0 = globals().get("_BENCH_T0", time.perf_counter())
     for name, cfg_path in PER_CONFIGS:
+        if time.perf_counter() - t_bench0 > budget_s:
+            print(f"# per_config {name} skipped: budget "
+                  f"{budget_s:.0f}s spent", file=sys.stderr)
+            per_config[name] = {"skipped": "budget"}
+            continue
         try:
             per_config[name] = _bench_one_config(name, cfg_path, pts)
         except Exception as e:  # one config must not sink the headline

@@ -157,7 +157,17 @@ def _make_fused_kernel(thresh: float, n_blocks: int, post_k: int,
             # l == s). K_cap has one spare block beyond post_k so the
             # crossing block (nk < post_k at entry, nk' > post_k after)
             # always fits.
-            pos = nk + jnp.cumsum(kb32) - kb32  # (BLK,) i32
+            # inclusive prefix sum via a triangular matmul (Mosaic has
+            # no cumsum lowering): csum[s] = Σ_{l<=s} kb32[l]
+            tri = (
+                jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+                <= jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+            ).astype(jnp.float32)
+            csum = jnp.dot(
+                kb32.astype(jnp.float32)[None, :], tri,
+                preferred_element_type=jnp.float32,
+            )[0].astype(jnp.int32)
+            pos = nk + csum - kb32  # (BLK,) i32
             s_iota = jax.lax.broadcasted_iota(
                 jnp.int32, (BLK, k_cap), 1
             )
