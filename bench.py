@@ -382,15 +382,18 @@ def main():
     }
     # the headline JSON line must land even under a caller timeout:
     # each per-config entry costs a 60-100 s tunnel compile, so stop
-    # fanning out once the wall-clock budget is spent (BENCH_BUDGET_S,
-    # 0 = skip the matrix entirely)
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
-    t_bench0 = globals().get("_BENCH_T0", time.perf_counter())
+    # fanning out once the wall-clock budget is spent. BENCH_BUDGET_S
+    # bounds ONLY the per-config fan-out (clock starts here, after the
+    # headline bench — ADVICE r4); 0 = skip the matrix entirely.
+    # Non-numeric per_config entries always use the {"error": ...}
+    # shape so JSON consumers have exactly two shapes to handle.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+    t_matrix0 = time.perf_counter()
     for name, cfg_path in PER_CONFIGS:
-        if time.perf_counter() - t_bench0 > budget_s:
-            print(f"# per_config {name} skipped: budget "
+        if time.perf_counter() - t_matrix0 > budget_s or budget_s == 0:
+            print(f"# per_config {name} skipped: matrix budget "
                   f"{budget_s:.0f}s spent", file=sys.stderr)
-            per_config[name] = {"skipped": "budget"}
+            per_config[name] = {"error": "skipped: matrix budget"}
             continue
         try:
             per_config[name] = _bench_one_config(name, cfg_path, pts)

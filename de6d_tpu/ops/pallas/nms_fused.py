@@ -174,8 +174,14 @@ def _make_fused_kernel(thresh: float, n_blocks: int, post_k: int,
             sel = (
                 (pos[:, None] == s_iota) & (kb32[:, None] > 0)
             ).astype(jnp.float32)
+            # precision=HIGHEST: the MXU's default input precision is
+            # bf16 — sel is a 0/1 one-hot (exact either way) but the
+            # fp32 packed corners/areas in cols would be rounded to
+            # ~2^-9 relative, perturbing every later external-
+            # suppression IoU against the kept list (ADVICE r4 high).
             kept_ref[:, :] = kept_ref[:, :] + jnp.dot(
-                cols, sel, preferred_element_type=jnp.float32
+                cols, sel, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             nk_ref[0] = nk + jnp.sum(kb32)
 

@@ -38,6 +38,13 @@ def parse_config():
     parser.add_argument("--save_to_file", action="store_true")
     parser.add_argument("--platform", type=str, default=None)
     parser.add_argument(
+        "--allow-zero-recall", action="store_true",
+        help="report timing even when the eval recalls nothing "
+        "(random-weights perf probes); otherwise zero recall against "
+        "nonzero GT exits with an error (ADVICE r4: a wiped checkpoint "
+        "must fail loudly, not publish random-weights latency)",
+    )
+    parser.add_argument(
         "--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER
     )
     args = parser.parse_args()
@@ -82,7 +89,16 @@ def eval_ckpt(model, state, ckpt, test_set, test_loader, result_dir, args,
         model, host.params, host.batch_stats, test_loader, test_set,
         cfg.MODEL, cfg.CLASS_NAMES, result_dir=result_dir,
         logger=logger, save_to_file=args.save_to_file,
+        allow_zero_recall=getattr(args, "allow_zero_recall", False),
     )
+    if ret.get("zero_recall") and not getattr(
+        args, "allow_zero_recall", False
+    ):
+        raise SystemExit(
+            "eval recalled 0 GT boxes — checkpoint likely failed to "
+            "load; refusing to publish results "
+            "(--allow-zero-recall to override)"
+        )
     return ret, state
 
 

@@ -42,7 +42,7 @@ def make_full_eval_step(model, post_cfg, num_class, thresh_list):
 
 def eval_one_epoch(model, params, batch_stats, loader, dataset, model_cfg,
                    class_names, result_dir=None, logger=None,
-                   save_to_file=False):
+                   save_to_file=False, allow_zero_recall=False):
     post_cfg = model_cfg["POST_PROCESSING"]
     thresh_list = post_cfg.get("RECALL_THRESH_LIST", [0.3, 0.5, 0.7])
     step = make_full_eval_step(
@@ -116,11 +116,32 @@ def eval_one_epoch(model, params, batch_stats, loader, dataset, model_cfg,
         _drain_one()
 
     sec_per_example = (time.perf_counter() - t_start) / max(n_frames, 1)
+    # zero-recall tripwire (ADVICE r4): an eval that recalls NOTHING at
+    # any threshold against a nonzero GT set almost always means the
+    # checkpoint failed to load (random weights) — its latency figures
+    # are unrepresentative (prediction counts / NMS load / score gating
+    # all wrong). Withhold the steady-state headline unless the caller
+    # explicitly opts in (random-weights perf probes set
+    # allow_zero_recall=True).
+    zero_recall = (
+        recall_totals.get("gt", 0) > 0
+        and not any(
+            v > 0 for k, v in recall_totals.items()
+            if k.startswith("recalled_")
+        )
+    )
     if logger:
         logger.info(
             f"eval: {n_frames} frames, {sec_per_example * 1e3:.1f} ms/frame"
         )
-        if len(batch_times) > 1:
+        if zero_recall and not allow_zero_recall:
+            logger.warning(
+                "eval recalled 0 GT boxes at every threshold — "
+                "checkpoint likely missing/random; steady-state latency "
+                "WITHHELD (pass allow_zero_recall=True / "
+                "--allow-zero-recall to report it anyway)"
+            )
+        if len(batch_times) > 1 and (allow_zero_recall or not zero_recall):
             # per-frame median over full-size batches: compiles (first
             # batch, plus the odd-shaped LAST batch on uneven splits,
             # 60-100 s each through the TPU tunnel) land in the mean,
@@ -158,4 +179,5 @@ def eval_one_epoch(model, params, batch_stats, loader, dataset, model_cfg,
         logger.info(result_str)
     ret_dict.update(ap_dict or {})
     ret_dict["sec_per_example"] = sec_per_example
+    ret_dict["zero_recall"] = bool(zero_recall)
     return ret_dict, det_annos
