@@ -134,9 +134,10 @@ def _spec_from_cfg(cfg):
 
 def _bench_one_config(name, cfg_path, scan_pts, batch_size=8,
                       n_points=16384):
-    """Inference throughput/latency for one zoo config (random init +
-    quantile score gate — same realistic-candidate-count protocol as
-    the headline's no-assets fallback). Returns a result dict."""
+    """Inference throughput/latency for one zoo config. Weights come
+    from bench_assets/{name}_params.npz when baked (trained — the NMS
+    load is then a real score distribution); fallback is random init
+    with the quantile score gate. Returns a result dict."""
     import gc
 
     import jax
@@ -154,19 +155,27 @@ def _bench_one_config(name, cfg_path, scan_pts, batch_size=8,
     model = build_network(model_cfg, num_class=num_class, dataset=spec)
 
     pts = scan_pts[:batch_size, :n_points].copy()
-    # clip into this config's range so candidate counts are realistic
+    # zero-row padding must be masked out (NOT clipped into range —
+    # see the padding note in main()); clip only the real points
+    mask_np = ~np.all(pts == 0, axis=-1)
     pc = spec.point_cloud_range
     for d in range(3):
         pts[..., d] = np.clip(pts[..., d], pc[d] + 0.01, pc[d + 3] - 0.01)
+    pts[~mask_np] = 0.0
     batch = {
         "points": jnp.asarray(pts),
-        "points_mask": jnp.ones((batch_size, n_points), bool),
+        "points_mask": jnp.asarray(mask_np),
     }
-    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
-        jax.random.PRNGKey(0), dict(batch)
-    )
-    params = variables["params"]
-    stats = variables.get("batch_stats", {})
+    baked = _load_params_npz(ASSETS / f"{name}_params.npz")
+    if baked is not None:
+        params, stats = baked
+    else:
+        variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+            jax.random.PRNGKey(0), dict(batch)
+        )
+        params = variables["params"]
+        stats = variables.get("batch_stats", {})
+        del variables
 
     post_cfg = dict(model_cfg["POST_PROCESSING"])
 
@@ -203,26 +212,34 @@ def _bench_one_config(name, cfg_path, scan_pts, batch_size=8,
         "scans_per_sec": round(piped, 2),
         "serial_chained_scans_per_sec": round(serial, 2),
         "p50_latency_ms_per_scan": round(1e3 / serial, 3),
-        "trained_ckpt": False,
+        "trained_ckpt": baked is not None,
+        "mean_pred_count": round(float(np.mean(np.asarray(out[2]))), 1),
     }
-    del params, stats, variables, batch, out
+    del params, stats, batch, out
     gc.collect()
     return res
 
 
-def _load_assets():
-    p = ASSETS / "pointpillar_params.npz"
-    s = ASSETS / "scans.npz"
-    if not (p.exists() and s.exists()):
+def _load_params_npz(path):
+    """bench_assets *_params.npz → (params, batch_stats) or None."""
+    if not Path(path).exists():
         return None
     from flax.traverse_util import unflatten_dict
 
-    raw = np.load(p, allow_pickle=False)
+    raw = np.load(path, allow_pickle=False)
     tree = unflatten_dict(
         {tuple(k.split("/")): raw[k].astype(np.float32) for k in raw.files}
     )
+    return tree["params"], tree.get("batch_stats", {})
+
+
+def _load_assets():
+    p = _load_params_npz(ASSETS / "pointpillar_params.npz")
+    s = ASSETS / "scans.npz"
+    if p is None or not s.exists():
+        return None
     scans = np.load(s)
-    return tree["params"], tree["batch_stats"], scans["points"]
+    return p[0], p[1], scans["points"]
 
 
 def main():
@@ -273,9 +290,16 @@ def main():
         pts[..., 3] = rng.uniform(0, 1, (batch_size, n_points))
         print("# no bench_assets — random init + quantile gate",
               file=sys.stderr)
+    # real scans carry zero-row padding out to 16384 — mask it exactly
+    # like the loader's collate does. An all-True mask turned the
+    # ~3900 padding rows into one artificial mega-cell that tripped
+    # the binned-SA spill fallback in the det6d per-config bench
+    # (measured 178 ms/scan brute vs 38.5 fused on the same chip).
+    pts = pts[:, :n_points]
+    mask_np = ~np.all(pts == 0, axis=-1)
     batch = {
-        "points": jnp.asarray(pts[:, :n_points]),
-        "points_mask": jnp.ones((batch_size, n_points), bool),
+        "points": jnp.asarray(pts),
+        "points_mask": jnp.asarray(mask_np),
     }
 
     if assets is None:
