@@ -178,9 +178,14 @@ def evaluate_nuscenes(gt_annos, det_annos, class_names):
         )
 
     mAP = float(np.mean(ap_all)) if ap_all else 0.0
-    tp_scores = [
-        1.0 - min(1.0, float(np.mean(v))) for v in tp_all.values()
-    ]
+    # devkit aggregate TP errors (class-mean): mATE/mASE/mAOE/mAVE
+    agg_names = {"trans_err": "mATE", "scale_err": "mASE",
+                 "orient_err": "mAOE", "vel_err": "mAVE"}
+    tp_scores = []
+    for name, vals in tp_all.items():
+        mean_err = float(np.mean(vals)) if vals else 1.0
+        metric[agg_names[name]] = mean_err
+        tp_scores.append(1.0 - min(1.0, mean_err))
     nds = (5.0 * mAP + sum(tp_scores)) / (5.0 + len(tp_scores))
     metric["mAP"] = mAP
     metric["NDS"] = nds
