@@ -154,6 +154,13 @@ def _bench_one_config(name, cfg_path, scan_pts, batch_size=8,
     num_class = len(cfg.CLASS_NAMES)
     model = build_network(model_cfg, num_class=num_class, dataset=spec)
 
+    # a config trained on a different domain (e.g. det6d_car on
+    # SlopedKITTI) scores ~0 on the shared flat-KITTI scans; prefer
+    # config-specific baked scans so the NMS load stays real
+    own_scans = ASSETS / f"{name}_scans.npz"
+    if own_scans.exists():
+        scan_pts = np.load(own_scans)["points"]
+
     pts = scan_pts[:batch_size, :n_points].copy()
     # zero-row padding must be masked out (NOT clipped into range —
     # see the padding note in main()); clip only the real points

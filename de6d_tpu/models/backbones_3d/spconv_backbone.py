@@ -21,6 +21,7 @@ import numpy as np
 
 from ...ops import sparse
 from ...registry import BACKBONES_3D
+from ..model_utils.dtype_utils import compute_dtype
 
 
 class MaskedBatchNorm(nn.Module):
@@ -40,6 +41,8 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
 
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)  # stats/normalize in fp32 under bf16
         if train:
             w = mask.astype(x.dtype)[..., None]
             cnt = jnp.clip(jnp.sum(w), 1.0, None)
@@ -58,7 +61,7 @@ class MaskedBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y * scale + bias
-        return jnp.where(mask[..., None], y, 0.0)
+        return jnp.where(mask[..., None], y, 0.0).astype(in_dtype)
 
 
 class SubMConvLayer(nn.Module):
@@ -67,8 +70,14 @@ class SubMConvLayer(nn.Module):
     use_relu: bool = True
 
     @nn.compact
-    def __call__(self, feats, keys, grid, train: bool):
-        """feats (B, V, Cin), keys (B, V) sorted → (B, V, Cout)."""
+    def __call__(self, feats, keys, grid, train: bool, table=None):
+        """feats (B, V, Cin), keys (B, V) sorted → (B, V, Cout).
+
+        ``table`` is an optional precomputed (idx, hit) neighbor table
+        from sparse.subm_neighbor_table — it depends only on the key
+        set, so the backbone builds it once per resolution and every
+        subm layer at that resolution reuses it (the lookup is the
+        dominant cost of a layer: runs/sparse_probe_r5.log)."""
         cin = feats.shape[-1]
         k3 = int(np.prod(self.kernel))
         w = self.param(
@@ -76,10 +85,18 @@ class SubMConvLayer(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (k3, cin, self.out_channels),
         )
-        out = jax.vmap(
-            lambda f, k: sparse.subm_conv(f, k, grid, w, self.kernel)
-        )(feats, keys)
+        w = w.astype(feats.dtype)  # fp32 params, bf16-capable compute
         mask = keys != sparse.INVALID
+        if table is not None:
+            out = jax.vmap(
+                lambda f, ti, th, m: sparse.subm_conv_table(
+                    f, ti, th, w, m
+                )
+            )(feats, table[0], table[1], mask)
+        else:
+            out = jax.vmap(
+                lambda f, k: sparse.subm_conv(f, k, grid, w, self.kernel)
+            )(feats, keys)
         out = MaskedBatchNorm()(out, mask, train)
         return nn.relu(out) if self.use_relu else out
 
@@ -101,6 +118,8 @@ class SparseDownLayer(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (k3, cin, self.out_channels),
         )
+
+        w = w.astype(feats.dtype)
 
         def one(f, k):
             ok, out_grid = sparse.downsample_coords(
@@ -130,11 +149,11 @@ class SparseBasicBlock(nn.Module):
     channels: int
 
     @nn.compact
-    def __call__(self, feats, keys, grid, train: bool):
+    def __call__(self, feats, keys, grid, train: bool, table=None):
         identity = feats
-        out = SubMConvLayer(self.channels)(feats, keys, grid, train)
+        out = SubMConvLayer(self.channels)(feats, keys, grid, train, table)
         out = SubMConvLayer(self.channels, use_relu=False)(
-            out, keys, grid, train
+            out, keys, grid, train, table
         )
         return nn.relu(out + identity)
 
@@ -176,36 +195,46 @@ class _VoxelBackboneBase(nn.Module):
             return sparse.sort_sparse(f, k)
 
         feats, keys = jax.vmap(sort_one)(feats, keys)
+        feats = feats.astype(compute_dtype(self.model_cfg))
 
         nf = self.model_cfg.get("NUM_FILTERS", [16, 16, 32, 64, 64])
         caps = self.model_cfg.get(
             "MAX_VOXELS_PER_STAGE", [v, v, v // 2, v // 4]
         )
 
-        x = SubMConvLayer(nf[0])(feats, keys, grid, train)  # conv_input
+        def table_for(ks, gr):
+            return jax.vmap(
+                lambda k: sparse.subm_neighbor_table(k, gr)
+            )(ks)
+
+        tab = table_for(keys, grid)
+        x = SubMConvLayer(nf[0])(feats, keys, grid, train, tab)  # conv_input
         for blk in self._stage(nf[1], 1):
-            x = blk(x, keys, grid, train)
+            x = blk(x, keys, grid, train, tab)
         ms = {"x_conv1": (x, keys, grid)}
 
         x, keys2, grid2 = SparseDownLayer(nf[2], max_out=caps[1])(
             x, keys, grid, train
         )
+        tab = table_for(keys2, grid2)
         for blk in self._stage(nf[2], 2):
-            x = blk(x, keys2, grid2, train)
+            x = blk(x, keys2, grid2, train, tab)
         ms["x_conv2"] = (x, keys2, grid2)
 
         x, keys3, grid3 = SparseDownLayer(nf[3], max_out=caps[2])(
             x, keys2, grid2, train
         )
+        tab = table_for(keys3, grid3)
         for blk in self._stage(nf[3], 2):
-            x = blk(x, keys3, grid3, train)
+            x = blk(x, keys3, grid3, train, tab)
         ms["x_conv3"] = (x, keys3, grid3)
 
         x, keys4, grid4 = SparseDownLayer(
             nf[4], padding=(0, 1, 1), max_out=caps[3]
         )(x, keys3, grid3, train)
+        tab = table_for(keys4, grid4)
         for blk in self._stage(nf[4], 2):
-            x = blk(x, keys4, grid4, train)
+            x = blk(x, keys4, grid4, train, tab)
         ms["x_conv4"] = (x, keys4, grid4)
 
         out_ch = self.model_cfg.get("OUT_CHANNELS", 128)
@@ -216,7 +245,7 @@ class _VoxelBackboneBase(nn.Module):
 
         dense = jax.vmap(lambda f, k: sparse.to_dense(f, k, grid5))(
             x, keys5
-        )  # (B, nz5, ny5, nx5, C)
+        ).astype(jnp.float32)  # (B, nz5, ny5, nx5, C)
         batch_dict["encoded_spconv_tensor"] = dense
         batch_dict["encoded_spconv_tensor_stride"] = 8
         batch_dict["multi_scale_3d_features"] = ms

@@ -7,8 +7,8 @@ Design (SURVEY.md §7.4 item 2):
 - A sparse tensor is (features (V, C), keys (V,), valid (V,)) per
   sample with STATIC capacity V; ``keys`` are z-major linearized
   coordinates SORTED ascending (invalid = INT32_MAX sentinel), so
-  neighbor lookup is a searchsorted binary search instead of a hash
-  table.
+  neighbor lookup is a sort-based rank merge (see ``lookup``) instead
+  of a hash table.
 - Submanifold conv: for each of the K³ kernel offsets, look up the
   neighbor of every active site, gather its features (zeros on miss),
   and run ONE fused GEMM (V, K³·Cin) × (K³·Cin, Cout) — the compute
@@ -61,12 +61,43 @@ def sort_sparse(features, keys):
 
 
 def lookup(keys_sorted, query_keys):
-    """Binary-search lookup: returns (idx (Q,), hit (Q,))."""
+    """Keyed lookup: returns (idx (Q,), hit (Q,)).
+
+    Sort-based rank computation — ONE lax.sort of the concatenated
+    (table, queries) plus a cummax, instead of jnp.searchsorted whose
+    binary search lowers to log2(V) rounds of random HBM gathers
+    (measured 278 ms of a 295 ms submanifold layer at V=16k, Q=27V,
+    B=4 on v5e — runs/sparse_probe_r5.log; this path is ~50x cheaper).
+
+    Contract (matches every caller): ``hit[i]`` ⇔ ``query_keys[i]`` is
+    present in ``keys_sorted`` and not INVALID, and then
+    ``keys_sorted[idx[i]] == query_keys[i]``. On a miss ``idx`` is an
+    arbitrary in-range index (callers mask gathers with ``hit``).
+    """
     v = keys_sorted.shape[0]
-    idx = jnp.searchsorted(keys_sorted, query_keys)
-    idx = jnp.clip(idx, 0, v - 1)
-    hit = (keys_sorted[idx] == query_keys) & (query_keys != INVALID)
-    return idx, hit
+    q = query_keys.shape[0]
+    comb = jnp.concatenate([keys_sorted, query_keys])
+    tag = jnp.concatenate([
+        jnp.zeros((v,), jnp.int32), jnp.ones((q,), jnp.int32)
+    ])
+    pos = jnp.arange(v + q, dtype=jnp.int32)
+    sk, st, sp = jax.lax.sort((comb, tag, pos), num_keys=2)
+    is_a = (st == 0).astype(jnp.int32)
+    # table entries strictly before each slot (ties: table first)
+    prefix = jnp.cumsum(is_a) - is_a
+    # a query hits iff the most recent table key at/before its slot
+    # equals its own key (keys ascend, so a running max suffices)
+    last_a = jax.lax.cummax(jnp.where(st == 0, sk, jnp.iinfo(jnp.int32).min))
+    hit_s = (st == 1) & (last_a == sk) & (sk != INVALID)
+    # matching table index: prefix counted the equal table entry too
+    idx_s = jnp.clip(prefix - hit_s.astype(jnp.int32), 0, v - 1)
+    # un-permute by a second sort on the original position (a scatter
+    # of Q elements measured 19.3 ms vs 8.6 ms for the sort at
+    # Q=27·16k on v5e); pack (idx, hit) into one payload lane
+    packed = idx_s * 2 + hit_s.astype(jnp.int32)
+    _, packed_o = jax.lax.sort((sp, packed), num_keys=1)
+    packed_q = packed_o[v:]
+    return packed_q >> 1, (packed_q & 1).astype(bool)
 
 
 def _kernel_offsets(kernel):
@@ -81,6 +112,51 @@ def _kernel_offsets(kernel):
     return jnp.stack(
         [oz.ravel(), oy.ravel(), ox.ravel()], axis=-1
     )  # (K, 3)
+
+
+def subm_neighbor_table(keys_sorted, grid, kernel=(3, 3, 3), valid=None):
+    """(idx (V, K), hit (V, K)) neighbor table for a submanifold conv.
+
+    One sort-based lookup over all K offsets. The table depends only
+    on the key set — the backbone builds it once per resolution stage
+    and every subm layer there reuses it (the lookup is the dominant
+    cost of a layer: runs/sparse_probe_r5*.log; an x-adjacency variant
+    with 3x fewer queries measured SLOWER, its shifted-gather hit
+    checks cost more than the larger sort).
+    """
+    v = keys_sorted.shape[0]
+    if valid is None:
+        valid = keys_sorted != INVALID
+    coords = keys_to_coords(keys_sorted, grid)
+    offsets = _kernel_offsets(kernel)
+    k = offsets.shape[0]
+    nbr = coords[:, None, :] + offsets[None, :, :]          # (V, K, 3)
+    nbr_keys = coords_to_keys(
+        nbr.reshape(-1, 3), grid, jnp.repeat(valid, k)
+    )
+    idx, hit = lookup(keys_sorted, nbr_keys)
+    return idx.reshape(v, k), hit.reshape(v, k) & valid[:, None]
+
+
+def subm_conv_table(features, table_idx, table_hit, weights, valid):
+    """Submanifold conv from a precomputed neighbor table.
+
+    features (V, Cin); table_* (V, K); weights (K, Cin, Cout).
+    """
+    k3, cin, cout = weights.shape
+    v = features.shape[0]
+    # miss → extra zero row; skips a (V·K, Cin)-wide select pass
+    fz = jnp.concatenate(
+        [features, jnp.zeros((1, cin), features.dtype)], axis=0
+    )
+    idx = jnp.where(table_hit, table_idx, v)
+    gathered = fz[idx]  # (V, K, Cin)
+    out = jax.lax.dot_general(
+        gathered.reshape(-1, k3 * cin),
+        weights.reshape(k3 * cin, cout),
+        (((1,), (0,)), ((), ())),
+    )
+    return jnp.where(valid[:, None], out, 0.0)
 
 
 def gather_neighbors(features, keys_sorted, query_coords, offsets, grid,
@@ -173,7 +249,7 @@ def downsample_coords(keys_sorted, grid, stride, padding, max_out: int,
         (oc_z * out_grid[1] + oc_y) * out_grid[2] + oc_x
     )
     keys = jnp.where(ok, keys, INVALID).reshape(-1)
-    uniq = jnp.unique(keys, size=max_out, fill_value=INVALID)
+    uniq = unique_keys(keys, max_out)
     return uniq, out_grid
 
 
@@ -190,10 +266,6 @@ def strided_conv(features, keys_sorted, grid, weights, kernel, stride,
     out_coords = keys_to_coords(out_keys_sorted, out_grid)
     out_valid = out_keys_sorted != INVALID
 
-    oz, oy, ox = jnp.meshgrid(
-        jnp.arange(kz), jnp.arange(ky), jnp.arange(kx), indexing="ij"
-    )
-    offs = jnp.stack([oz.ravel(), oy.ravel(), ox.ravel()], -1)  # (K, 3)
     base = jnp.stack(
         [
             out_coords[:, 0] * sz - pz,
@@ -202,19 +274,51 @@ def strided_conv(features, keys_sorted, grid, weights, kernel, stride,
         ],
         axis=-1,
     )  # (Q, 3)
-    nbr = base[:, None, :] + offs[None, :, :]
     q = out_coords.shape[0]
+    oz, oy, ox = jnp.meshgrid(
+        jnp.arange(kz), jnp.arange(ky), jnp.arange(kx), indexing="ij"
+    )
+    offs = jnp.stack([oz.ravel(), oy.ravel(), ox.ravel()], -1)  # (K, 3)
+    nbr = base[:, None, :] + offs[None, :, :]
     nbr_keys = coords_to_keys(
         nbr.reshape(-1, 3), grid, jnp.repeat(out_valid, k3)
     )
     idx, hit = lookup(keys_sorted, nbr_keys)
-    gathered = jnp.where(hit[:, None], features[idx], 0.0).reshape(
-        q, k3 * cin
+    # miss → extra zero row; skips a (Q·K, Cin)-wide select pass
+    fz = jnp.concatenate(
+        [features, jnp.zeros((1, cin), features.dtype)], axis=0
     )
+    idx = jnp.where(hit, idx, features.shape[0])
+    gathered = fz[idx].reshape(q, k3 * cin)
     out = jax.lax.dot_general(
         gathered, weights.reshape(k3 * cin, cout), (((1,), (0,)), ((), ()))
     )
     return jnp.where(out_valid[:, None], out, 0.0)
+
+
+def unique_keys(keys, size: int):
+    """Ascending unique keys with INVALID fill — two stable sorts
+    instead of jnp.unique's sort+scatter (the scatter is the expensive
+    half on TPU; measured 12.6 → ~6 ms at 8·16k candidates, B=4).
+
+    Equivalent to ``jnp.unique(keys, size=size, fill_value=INVALID)``
+    for int32 keys where INVALID is the max sentinel.
+    """
+    sk = jnp.sort(keys)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
+    ) & (sk != INVALID)
+    # stable partition: first occurrences to the front, ascending
+    _, out = jax.lax.sort(
+        ((~first).astype(jnp.int32), sk), num_keys=1, is_stable=True
+    )
+    out = out[:size]
+    if size > out.shape[0]:
+        out = jnp.pad(
+            out, (0, size - out.shape[0]), constant_values=INVALID
+        )
+    n_uniq = jnp.sum(first)
+    return jnp.where(jnp.arange(size) < n_uniq, out, INVALID)
 
 
 def to_dense(features, keys_sorted, grid):

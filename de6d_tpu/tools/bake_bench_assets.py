@@ -38,6 +38,9 @@ def main():
                     help="asset name (default: cfg file stem)")
     ap.add_argument("--write_scans", action="store_true",
                     help="also (re)write the shared scans.npz")
+    ap.add_argument("--scans_out", default="scans.npz",
+                    help="scan-set filename (use {name}_scans.npz for a "
+                         "config whose domain differs from the shared set)")
     args = ap.parse_args()
 
     import jax
@@ -96,7 +99,7 @@ def main():
             item = test_set.getitem_prepared(i)
             scans.append(item["points"].astype(np.float32))
         np.savez_compressed(
-            out_dir / "scans.npz", points=np.stack(scans)
+            out_dir / args.scans_out, points=np.stack(scans)
         )
     sizes = {
         f.name: f.stat().st_size // 1024

@@ -172,3 +172,40 @@ def test_second_backbone_e2e(rng):
     grads = jax.grad(loss_fn)(variables["params"])
     leaves = jax.tree_util.tree_leaves(grads)
     assert sum(float(jnp.sum(jnp.abs(g))) for g in leaves) > 0
+
+
+def test_neighbor_table_matches_subm_conv(rng):
+    """Table path (x-adjacency, 9 searches) bit-equals the 27-search
+    subm_conv, including x borders, invalid tails, and a fully-dense
+    (no INVALID tail) capacity — the insertion-point clipping edge."""
+    grid = (5, 7, 9)
+    cin, cout = 4, 6
+    w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+    for n_active, v in ((60, 80), (80, 80), (3, 16)):
+        coords, feats = make_sparse(rng, grid, n_active, cin)
+        keys = np.asarray(sparse.coords_to_keys(jnp.asarray(coords), grid))
+        keys_pad = np.full(v, sparse.INVALID, np.int64)
+        feats_pad = np.zeros((v, cin), np.float32)
+        keys_pad[:n_active] = keys
+        feats_pad[:n_active] = feats
+        f_s, k_s = sparse.sort_sparse(
+            jnp.asarray(feats_pad), jnp.asarray(keys_pad.astype(np.int32))
+        )
+        ref = sparse.subm_conv(f_s, k_s, grid, w)
+        ti, th = sparse.subm_neighbor_table(k_s, grid)
+        out = sparse.subm_conv_table(
+            f_s, ti, th, w, k_s != sparse.INVALID
+        )
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_unique_keys_matches_jnp_unique(rng):
+    for n, size in ((128, 64), (128, 200), (7, 7)):
+        keys = rng.choice(300, n).astype(np.int32)
+        keys[rng.rand(n) < 0.3] = sparse.INVALID
+        ref = np.asarray(
+            jnp.unique(jnp.asarray(keys), size=size,
+                       fill_value=sparse.INVALID)
+        )
+        out = np.asarray(sparse.unique_keys(jnp.asarray(keys), size))
+        np.testing.assert_array_equal(ref, out)
