@@ -47,6 +47,7 @@ def train_model(
     train_step = make_train_step(model, optimizer)
     data_time = AverageMeter()
     step_time = AverageMeter()
+    step_window = []  # last-50 steady-state window
 
     from ..models import device_batch as _device_batch
     it = int(state.step)
@@ -85,16 +86,23 @@ def train_model(
                             "meta_data/learning_rate",
                             float(lr_schedule(it)), it,
                         )
+                step_window.append(t_step)
+                if len(step_window) > 50:
+                    step_window.pop(0)
                 if logger is not None and it % log_interval == 0:
                     # cross-process mean of host timings (reference
                     # train_utils.py:60-62 average_reduce_value)
                     avg_data = average_reduce_value(data_time.avg)
                     avg_step = average_reduce_value(step_time.avg)
+                    # cumulative avg amortizes the compile step; the
+                    # 50-iter window is the steady-state number
+                    w50 = sum(step_window) / len(step_window)
                     logger.info(
                         f"epoch {epoch} it {it} "
                         f"loss {float(metrics['loss']):.4f} "
                         f"data {avg_data * 1e3:.0f}ms "
-                        f"step {avg_step * 1e3:.0f}ms"
+                        f"step {avg_step * 1e3:.0f}ms "
+                        f"step50 {w50 * 1e3:.0f}ms"
                     )
                 t_end = time.perf_counter()
 
