@@ -116,6 +116,7 @@ class VoxelSetAbstraction(nn.Module):
                     nsamples=tuple(int(s) for s in src["NSAMPLE"]),
                     mlps=tuple(tuple(m) for m in src["MLPS"]),
                     use_xyz=True,
+                    pc_range=tuple(self.point_cloud_range),
                 )
                 _, f, _, _ = sa(
                     points[..., :3], feats, mask,
@@ -163,6 +164,7 @@ class VoxelSetAbstraction(nn.Module):
                     nsamples=tuple(int(s) for s in src["NSAMPLE"]),
                     mlps=tuple(tuple(m) for m in src["MLPS"]),
                     use_xyz=True,
+                    pc_range=tuple(self.point_cloud_range),
                 )
                 _, f, _, _ = sa(
                     centers, feats_v, cvalid,
