@@ -23,7 +23,9 @@ from ..models import build_network
 from ..train import (
     build_optimizer_and_schedule, create_train_state, make_train_step,
 )
-from ..train.checkpoint import latest_checkpoint, restore_checkpoint
+from ..train.checkpoint import (
+    latest_checkpoint, load_pretrained, restore_checkpoint,
+)
 from ..train.eval_utils import eval_one_epoch
 from ..train.train_loop import train_model
 from ..utils.common_utils import create_logger, set_random_seed
@@ -134,6 +136,12 @@ def main():
         state, meta = restore_checkpoint(ckpt, state)
         start_epoch = int(meta.get("epoch", 0))
         logger.info(f"resumed from {ckpt} (epoch {start_epoch})")
+    elif args.pretrained_model:
+        # shape-matched partial warm-start (reference train.py
+        # --pretrained_model → load_params_from_file, strict=False)
+        state, _, _ = load_pretrained(
+            args.pretrained_model, state, logger=logger
+        )
 
     logger.info(
         f"start training {cfg.TAG} ({start_epoch}→{epochs} epochs, "

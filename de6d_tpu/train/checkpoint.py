@@ -77,3 +77,45 @@ def restore_checkpoint(path, abstract_state):
 def latest_checkpoint(ckpt_dir):
     ckpts = list_checkpoints(ckpt_dir)
     return ckpts[-1] if ckpts else None
+
+
+def load_pretrained(path, state, logger=None):
+    """Shape-matched partial restore (reference
+    detector3d_template.load_params_from_file semantics: copy every
+    checkpoint tensor whose name AND shape match the fresh model,
+    skip the rest — used to warm-start e.g. PV-RCNN from a trained
+    SECOND backbone).
+
+    Returns (state, n_loaded, n_skipped)."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    path = Path(path).resolve()
+    with _checkpointer() as cp:
+        raw = cp.restore(path)  # raw pytree, no target structure
+    src = raw.get("state", raw)
+
+    n_loaded = n_skipped = 0
+    new_subtrees = {}
+    for field in ("params", "batch_stats"):
+        dst = getattr(state, field, None)
+        if dst is None or field not in src:
+            continue
+        flat_dst = flatten_dict(dict(dst))
+        flat_src = flatten_dict(dict(src[field]))
+        out = {}
+        for k, v in flat_dst.items():
+            s = flat_src.get(k)
+            if s is not None and tuple(s.shape) == tuple(v.shape):
+                out[k] = s.astype(v.dtype)
+                n_loaded += 1
+            else:
+                out[k] = v
+                n_skipped += 1
+        new_subtrees[field] = unflatten_dict(out)
+    state = state.replace(**new_subtrees)
+    if logger is not None:
+        logger.info(
+            f"pretrained: loaded {n_loaded} tensors from {path}, "
+            f"kept {n_skipped} fresh"
+        )
+    return state, n_loaded, n_skipped

@@ -111,3 +111,53 @@ def test_checkpoint_pruning(tmp_path):
     kept = list_checkpoints(tmp_path)
     assert len(kept) == 3
     assert kept[-1].name == "checkpoint_epoch_4"
+
+
+def test_load_pretrained_partial(tmp_path):
+    """Shape-matched partial warm-start: matching name+shape tensors
+    load, mismatched shapes and missing names stay fresh."""
+    import optax
+
+    from de6d_tpu.train.checkpoint import (
+        load_pretrained, save_checkpoint,
+    )
+    from de6d_tpu.train.train_state import TrainState
+
+    src_params = {
+        "backbone": {"w": np.full((3, 4), 2.0, np.float32)},
+        "head": {"w": np.full((5,), 3.0, np.float32)},
+    }
+    opt = optax.adam(1e-3)
+    src = TrainState(
+        step=jnp.asarray(9, jnp.int32),
+        params=src_params,
+        batch_stats={"bn": np.full(4, 7.0, np.float32)},
+        opt_state=opt.init(src_params),
+    )
+    save_checkpoint(tmp_path, src, epoch=1)
+
+    # destination: backbone matches, head has a DIFFERENT shape, and
+    # there's a brand-new module the checkpoint has never seen
+    dst_params = {
+        "backbone": {"w": np.zeros((3, 4), np.float32)},
+        "head": {"w": np.zeros((6,), np.float32)},
+        "roi": {"w": np.zeros((2, 2), np.float32)},
+    }
+    dst = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=dst_params,
+        batch_stats={"bn": np.zeros(4, np.float32)},
+        opt_state=opt.init(dst_params),
+    )
+    out, n_loaded, n_skipped = load_pretrained(
+        tmp_path / "checkpoint_epoch_1", dst
+    )
+    np.testing.assert_array_equal(
+        out.params["backbone"]["w"], src_params["backbone"]["w"]
+    )
+    np.testing.assert_array_equal(out.params["head"]["w"], np.zeros(6))
+    np.testing.assert_array_equal(out.params["roi"]["w"], np.zeros((2, 2)))
+    np.testing.assert_array_equal(out.batch_stats["bn"], np.full(4, 7.0))
+    assert n_loaded == 2  # backbone/w + bn
+    assert n_skipped == 2  # head/w (shape), roi/w (missing)
+    assert int(out.step) == 0  # step/opt_state untouched
