@@ -77,7 +77,13 @@ class SubMConvLayer(nn.Module):
         from sparse.subm_neighbor_table — it depends only on the key
         set, so the backbone builds it once per resolution and every
         subm layer at that resolution reuses it (the lookup is the
-        dominant cost of a layer: runs/sparse_probe_r5.log)."""
+        dominant cost of a layer: runs/sparse_probe_r5.log).
+
+        Inference on TPU uses the Pallas slab-gather conv
+        (ops/pallas/sparse_gather.py) when every tile's neighbor
+        spread fits the slab (checked in-graph, exact fallback to the
+        XLA gather otherwise); training keeps the XLA path (the slab
+        kernel has no VJP)."""
         cin = feats.shape[-1]
         k3 = int(np.prod(self.kernel))
         w = self.param(
@@ -85,17 +91,40 @@ class SubMConvLayer(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (k3, cin, self.out_channels),
         )
-        w = w.astype(feats.dtype)  # fp32 params, bf16-capable compute
+        wc = w.astype(feats.dtype)  # fp32 params, bf16-capable compute
         mask = keys != sparse.INVALID
         if table is not None:
-            out = jax.vmap(
-                lambda f, ti, th, m: sparse.subm_conv_table(
-                    f, ti, th, w, m
+            def xla_path(_):
+                return jax.vmap(
+                    lambda f, ti, th, m: sparse.subm_conv_table(
+                        f, ti, th, wc, m
+                    )
+                )(feats, table[0], table[1], mask)
+
+            if (
+                not train
+                and k3 == 27
+                and jax.default_backend() == "tpu"
+            ):
+                from ...ops.pallas.sparse_gather import (
+                    slab_spread_ok, subm_conv_slab,
                 )
-            )(feats, table[0], table[1], mask)
+
+                def slab_path(_):
+                    out, _ = subm_conv_slab(
+                        feats, table[0], table[1], w, mask
+                    )
+                    return out
+
+                ok = slab_spread_ok(table[0], table[1], feats.shape[1])
+                out = jax.lax.cond(
+                    jnp.all(ok), slab_path, xla_path, None
+                )
+            else:
+                out = xla_path(None)
         else:
             out = jax.vmap(
-                lambda f, k: sparse.subm_conv(f, k, grid, w, self.kernel)
+                lambda f, k: sparse.subm_conv(f, k, grid, wc, self.kernel)
             )(feats, keys)
         out = MaskedBatchNorm()(out, mask, train)
         return nn.relu(out) if self.use_relu else out

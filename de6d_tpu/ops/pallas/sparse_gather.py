@@ -1,0 +1,192 @@
+"""Pallas TPU kernel: slab-gather submanifold sparse convolution.
+
+The XLA path (ops/sparse.py subm_conv_table) gathers (V, K, Cin)
+neighbor rows by index — a random row gather whose rows are only
+32-256 B, ~100x off DMA roofline on v5e (measured 17 ms of a 19.5 ms
+layer at V=16k, K=27, C=32, B=4 — runs/sparse_probe_r5d.log).
+
+This kernel exploits a structural property of the sort-based lookup
+(ops/sparse.py lookup): sites are sorted by linear key, and a kernel
+offset shifts every key by the same constant, so for a FIXED offset k
+the neighbor index ``idx[:, k]`` is monotone non-decreasing in the
+site index. The neighbors of any tile of T consecutive sites therefore
+live in one CONTIGUOUS row range of the feature table, and the gather
+becomes:
+
+  1. per (site-tile, offset): one async DMA of an S-row slab starting
+     at the tile's 8-aligned minimum neighbor row (precomputed in XLA);
+  2. an in-VMEM one-hot (T, S) x (S, Cin) MXU matmul selects each
+     site's row (misses select the zero pad row or fall outside the
+     slab — both yield exact zeros);
+  3. the conv contraction (T, Cin) x (Cin, Cout) accumulates over
+     offsets in fp32 — the grouped (V, K, Cin) tensor never exists.
+
+Exactness: requires every tile's neighbor spread (max hit row − lo8)
+to be < S. The caller checks the spread in XLA and falls back to the
+gather path otherwise (same contract as the binned-SA spill fallback,
+ops/binned.py). The one-hot select is exact for bf16 features; fp32
+features use HIGHEST precision (see canvas.py:57-64).
+
+Replaces the gather+GEMM of reference spconv's submanifold conv
+(core/pcdet/models/backbones_3d/spconv_backbone.py:69 via the spconv
+library); the reference's CUDA hash-table+rulebook design has no TPU
+analogue — this slab/one-hot formulation is the TPU-native shape of
+the same math.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _make_kernel(n_off: int, tile: int, slab: int, cin: int, cout: int):
+    def kernel(lo_ref, idx_ref, w_ref, feats_hbm, out_ref, buf, sems):
+        b = pl.program_id(0)
+        iota_ts = jax.lax.broadcasted_iota(jnp.int32, (tile, slab), 1)
+        w_dtype = w_ref.dtype
+
+        def copy(k, slot):
+            st = pl.multiple_of(lo_ref[0, 0, k], 8)
+            return pltpu.make_async_copy(
+                feats_hbm.at[b, pl.ds(st, slab), :],
+                buf.at[slot],
+                sems.at[slot],
+            )
+
+        copy(0, 0).start()
+        acc = jnp.zeros((tile, cout), jnp.float32)
+        for k in range(n_off):
+            slot = k % 2
+            if k + 1 < n_off:
+                copy(k + 1, (k + 1) % 2).start()
+            copy(k, slot).wait()
+            off = idx_ref[0, 0, k, :] - lo_ref[0, 0, k]  # (T,)
+            sel = (off[:, None] == iota_ts).astype(w_dtype)
+            # one-hot rows are exact in bf16; fp32 feature tables need
+            # HIGHEST or the MXU rounds the features through bf16
+            prec = (
+                jax.lax.Precision.HIGHEST
+                if w_dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            )
+            g = jax.lax.dot_general(
+                sel, buf[slot],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )  # (T, Cin)
+            acc = acc + jax.lax.dot_general(
+                g.astype(w_dtype), w_ref[k],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[0] = acc
+
+    return kernel
+
+
+def slab_spread_ok(idx, hit, v: int, tile: int = 256, slab: int = 512):
+    """(B, V, K) neighbor table → (B,) bool: every site-tile's neighbor
+    rows fit an S-row slab starting at the tile's 8-aligned minimum
+    (the subm_conv_slab exactness condition, same tile/slab defaults)."""
+    b, _, k3 = idx.shape
+    v_pad = _round_up(v, tile)
+    idxm = jnp.where(hit, idx, v).astype(jnp.int32)
+    if v_pad != idx.shape[1]:
+        idxm = jnp.pad(
+            idxm, ((0, 0), (0, v_pad - idx.shape[1]), (0, 0)),
+            constant_values=v,
+        )
+    til = idxm.reshape(b, v_pad // tile, tile, k3)
+    lo = jnp.min(til, axis=2)
+    lo8 = jnp.clip((lo // 8) * 8, 0, v)
+    hi = jnp.max(jnp.where(til < v, til, 0), axis=2)
+    return jnp.all((hi - lo8 < slab) | (lo >= v), axis=(1, 2))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "slab", "interpret")
+)
+def subm_conv_slab(features, idx, hit, weights, valid,
+                   tile: int = 256, slab: int = 512,
+                   interpret: bool = False):
+    """Submanifold conv via slab DMA + one-hot select.
+
+    features (B, V, Cin); idx/hit (B, V, K) neighbor table from
+    sparse.subm_neighbor_table; weights (K, Cin, Cout);
+    valid (B, V). Returns (out (B, V, Cout) fp32, ok (B,) bool) where
+    ``ok[b]`` certifies exactness (every tile spread < slab); rows of
+    samples with ok=False are UNDEFINED — callers must fall back.
+    """
+    b, v, cin = features.shape
+    k3 = idx.shape[-1]
+    cout = weights.shape[-1]
+    v_pad = _round_up(v, tile)
+    n_tiles = v_pad // tile
+
+    # miss -> row v (a zero row): selects zero whether it lands inside
+    # the slab or beyond it
+    idxm = jnp.where(hit, idx, v).astype(jnp.int32)
+    if v_pad != v:
+        idxm = jnp.pad(idxm, ((0, 0), (0, v_pad - v), (0, 0)),
+                       constant_values=v)
+    til = idxm.reshape(b, n_tiles, tile, k3)
+    lo = jnp.min(til, axis=2)  # (B, n_tiles, K)
+    lo8 = jnp.clip((lo // 8) * 8, 0, v)  # DMA starts must be 8-aligned
+    hi = jnp.max(jnp.where(til < v, til, 0), axis=2)
+    ok = jnp.all((hi - lo8 < slab) | (lo >= v), axis=(1, 2))  # (B,)
+
+    w_dtype = features.dtype
+    feats_z = jnp.concatenate(
+        [features, jnp.zeros((b, slab + 8, cin), features.dtype)], axis=1
+    )
+    idx_t = jnp.swapaxes(idxm, 1, 2)  # (B, K, Vpad)
+    idx_t = idx_t.reshape(b, k3, n_tiles, tile).swapaxes(1, 2)
+    # (B, n_tiles, K, tile)
+
+    out = pl.pallas_call(
+        _make_kernel(k3, tile, slab, cin, cout),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, k3), lambda bb, t: (bb, t, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, k3, tile), lambda bb, t: (bb, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (k3, cin, cout), lambda bb, t: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            # ANY-space blocks must be the full array with a trivial
+            # index map (Mosaic); the kernel slices by dynamic DMA
+            pl.BlockSpec(
+                (b, v + slab + 8, cin), lambda bb, t: (0, 0, 0),
+                memory_space=pl.ANY,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, cout), lambda bb, t: (bb, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, v_pad, cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, slab, cin), w_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(lo8, idx_t, weights.astype(w_dtype), feats_z)
+    out = out[:, :v].astype(features.dtype)
+    return jnp.where(valid[..., None], out, 0.0), ok
