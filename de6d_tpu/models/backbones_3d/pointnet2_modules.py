@@ -319,6 +319,15 @@ class PointnetSAModuleFSMSG(nn.Module):
                 tuple(self.confidence_mlp), use_bn=self.use_bn,
                 dtype=self.dtype, name=f"SharedMLP_{n_named}",
             )(new_features, train)
+            # final score Dense is ALWAYS fp32: scores drive s-fps/c-fps
+            # SELECTION and the SASA losses — decisions and predictions
+            # stay fp32 (dtype_utils contract). A bf16 final Dense
+            # quantizes scores onto an 8-bit-mantissa grid, the sampled
+            # set thrashes across quantization boundaries, and every
+            # upstream gradient decorrelates (measured cos ≈ 0 across
+            # the whole backbone — tools/bf16_grad_probe.py; the r4
+            # full-scale Det6D bf16 stall).
+            h = h.astype(jnp.float32)
             if self.confidence_num_class > 0:
                 # per-class logits (IA-SSD ctr_aware sampling + the
                 # instance-aware SA losses); 0 = legacy scalar scores

@@ -28,11 +28,16 @@ class SharedMLP(nn.Module):
                 int(c), use_bias=not self.use_bn, dtype=self.dtype
             )(x)
             if self.use_bn:
+                # stats/normalize in fp32 under bf16: flax's
+                # fast-variance (E[x²]−E[x]²) cancels catastrophically
+                # in bf16 and stalled full-scale Det6D training (the
+                # r4 bf16 stall; r5 bisect arm B localized it to the
+                # SA/FP MLP stack — runs/train_det6d_bf16_armB_r5.log)
                 x = nn.BatchNorm(
                     use_running_average=not train, momentum=0.99,
-                    epsilon=1e-3, dtype=self.dtype,
+                    epsilon=1e-3, dtype=jnp.float32,
                 )(x)
-            x = nn.relu(x)
+            x = nn.relu(x).astype(self.dtype)
         return x
 
     def folded(self):
@@ -90,9 +95,10 @@ class FCStack(nn.Module):
                 int(c), use_bias=not self.use_bn, dtype=self.dtype
             )(x)
             if self.use_bn:
+                # fp32 BN under bf16 — see SharedMLP
                 x = nn.BatchNorm(
                     use_running_average=not train, momentum=0.99,
-                    epsilon=1e-3, dtype=self.dtype,
+                    epsilon=1e-3, dtype=jnp.float32,
                 )(x)
-            x = nn.relu(x)
+            x = nn.relu(x).astype(self.dtype)
         return nn.Dense(self.output_channels)(x.astype(jnp.float32))

@@ -217,6 +217,44 @@ def main():
 
     timed("strided_conv (sites given)", t6, feats_j)
 
+    # T7: Pallas slab-gather subm conv (table given) — the r5 kernel
+    # (ops/pallas/sparse_gather.py); also report the spread check
+    from de6d_tpu.ops.pallas.sparse_gather import (
+        slab_spread_ok, subm_conv_slab,
+    )
+
+    ok = slab_spread_ok(tab_i, tab_h, v)
+    print(f"  slab spread ok: {np.asarray(ok)}", flush=True)
+
+    def t7(f):
+        out, _ = subm_conv_slab(
+            f, tab_i, tab_h, w, keys_j != sparse.INVALID
+        )
+        return f + out * 1e-6
+
+    timed("subm_conv_slab (Pallas)", t7, feats_j)
+
+    # T7b: same in bf16 (the per-config bench dtype)
+    feats_bf = feats_j.astype(jnp.bfloat16)
+
+    def t7b(f):
+        out, _ = subm_conv_slab(
+            f, tab_i, tab_h, w, keys_j != sparse.INVALID
+        )
+        return f + out * jnp.bfloat16(1e-6)
+
+    timed("subm_conv_slab bf16", t7b, feats_bf)
+
+    def t2c_bf(f):
+        out = jax.vmap(
+            lambda ff, ti, th, kk: sparse.subm_conv_table(
+                ff, ti, th, w.astype(jnp.bfloat16), kk != sparse.INVALID
+            )
+        )(f, tab_i, tab_h, keys_j)
+        return f + out * jnp.bfloat16(1e-6)
+
+    timed("subm_conv_table bf16", t2c_bf, feats_bf)
+
 
 if __name__ == "__main__":
     main()
