@@ -148,25 +148,58 @@ class SparseDownLayer(nn.Module):
             (k3, cin, self.out_channels),
         )
 
-        w = w.astype(feats.dtype)
+        wc = w.astype(feats.dtype)
 
-        def one(f, k):
-            ok, out_grid = sparse.downsample_coords(
-                k, grid, self.stride, self.padding, self.max_out,
-                kernel=self.kernel,
-            )
-            of = sparse.strided_conv(
-                f, k, grid, w, self.kernel, self.stride, self.padding,
-                ok, out_grid,
-            )
-            return of, ok
-
-        out, out_keys = jax.vmap(one)(feats, keys)
         _, out_grid = sparse.downsample_coords(
             keys[0], grid, self.stride, self.padding, self.max_out,
             kernel=self.kernel,
         )
+        out_keys = jax.vmap(
+            lambda k: sparse.downsample_coords(
+                k, grid, self.stride, self.padding, self.max_out,
+                kernel=self.kernel,
+            )[0]
+        )(keys)
         mask = out_keys != sparse.INVALID
+        k3_full = int(np.prod(self.kernel))
+        if (
+            not train
+            and k3_full == 27
+            and jax.default_backend() == "tpu"
+        ):
+            # eval on TPU: factored lookup table + Pallas slab gather
+            # (same idx-monotonicity as the subm case; exact fallback)
+            from ...ops.pallas.sparse_gather import (
+                slab_spread_ok, subm_conv_slab,
+            )
+
+            ti, th = jax.vmap(
+                lambda k, ok_: sparse.strided_neighbor_table(
+                    k, ok_, grid, out_grid, self.kernel, self.stride,
+                    self.padding,
+                )
+            )(keys, out_keys)
+
+            def slab_path(_):
+                o, _ = subm_conv_slab(feats, ti, th, w, mask)
+                return o
+
+            def xla_path(_):
+                return jax.vmap(
+                    lambda f, tii, thh, m: sparse.subm_conv_table(
+                        f, tii, thh, wc, m
+                    )
+                )(feats, ti, th, mask)
+
+            ok = slab_spread_ok(ti, th, feats.shape[1])
+            out = jax.lax.cond(jnp.all(ok), slab_path, xla_path, None)
+        else:
+            out = jax.vmap(
+                lambda f, k, ok_: sparse.strided_conv(
+                    f, k, grid, wc, self.kernel, self.stride,
+                    self.padding, ok_, out_grid,
+                )
+            )(feats, keys, out_keys)
         out = MaskedBatchNorm()(out, mask, train)
         return nn.relu(out), out_keys, out_grid
 

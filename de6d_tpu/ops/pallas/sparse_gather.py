@@ -96,18 +96,19 @@ def _make_kernel(n_off: int, tile: int, slab: int, cin: int, cout: int):
 
 
 def slab_spread_ok(idx, hit, v: int, tile: int = 256, slab: int = 512):
-    """(B, V, K) neighbor table → (B,) bool: every site-tile's neighbor
+    """(B, Q, K) neighbor table → (B,) bool: every site-tile's neighbor
     rows fit an S-row slab starting at the tile's 8-aligned minimum
-    (the subm_conv_slab exactness condition, same tile/slab defaults)."""
-    b, _, k3 = idx.shape
-    v_pad = _round_up(v, tile)
+    (the subm_conv_slab exactness condition, same tile/slab defaults).
+    ``v`` is the FEATURE-TABLE row count (Q may differ — strided
+    convs query output sites against the input table)."""
+    b, q, k3 = idx.shape
+    q_pad = _round_up(q, tile)
     idxm = jnp.where(hit, idx, v).astype(jnp.int32)
-    if v_pad != idx.shape[1]:
+    if q_pad != q:
         idxm = jnp.pad(
-            idxm, ((0, 0), (0, v_pad - idx.shape[1]), (0, 0)),
-            constant_values=v,
+            idxm, ((0, 0), (0, q_pad - q), (0, 0)), constant_values=v
         )
-    til = idxm.reshape(b, v_pad // tile, tile, k3)
+    til = idxm.reshape(b, q_pad // tile, tile, k3)
     lo = jnp.min(til, axis=2)
     lo8 = jnp.clip((lo // 8) * 8, 0, v)
     hi = jnp.max(jnp.where(til < v, til, 0), axis=2)
@@ -120,25 +121,28 @@ def slab_spread_ok(idx, hit, v: int, tile: int = 256, slab: int = 512):
 def subm_conv_slab(features, idx, hit, weights, valid,
                    tile: int = 256, slab: int = 512,
                    interpret: bool = False):
-    """Submanifold conv via slab DMA + one-hot select.
+    """Sparse conv gather+GEMM via slab DMA + one-hot select.
 
-    features (B, V, Cin); idx/hit (B, V, K) neighbor table from
-    sparse.subm_neighbor_table; weights (K, Cin, Cout);
-    valid (B, V). Returns (out (B, V, Cout) fp32, ok (B,) bool) where
-    ``ok[b]`` certifies exactness (every tile spread < slab); rows of
-    samples with ok=False are UNDEFINED — callers must fall back.
+    features (B, V, Cin) key-sorted table; idx/hit (B, Q, K) neighbor
+    table (from sparse.subm_neighbor_table, or a strided layer's
+    per-output-site lookup — Q need not equal V); weights
+    (K, Cin, Cout); valid (B, Q) OUTPUT-site validity. Returns
+    (out (B, Q, Cout), ok (B,) bool) where ``ok[b]`` certifies
+    exactness (every tile spread < slab); rows of samples with
+    ok=False are UNDEFINED — callers must fall back.
     """
     b, v, cin = features.shape
+    q = idx.shape[1]
     k3 = idx.shape[-1]
     cout = weights.shape[-1]
-    v_pad = _round_up(v, tile)
-    n_tiles = v_pad // tile
+    q_pad = _round_up(q, tile)
+    n_tiles = q_pad // tile
 
     # miss -> row v (a zero row): selects zero whether it lands inside
     # the slab or beyond it
     idxm = jnp.where(hit, idx, v).astype(jnp.int32)
-    if v_pad != v:
-        idxm = jnp.pad(idxm, ((0, 0), (0, v_pad - v), (0, 0)),
+    if q_pad != q:
+        idxm = jnp.pad(idxm, ((0, 0), (0, q_pad - q), (0, 0)),
                        constant_values=v)
     til = idxm.reshape(b, n_tiles, tile, k3)
     lo = jnp.min(til, axis=2)  # (B, n_tiles, K)
@@ -181,12 +185,12 @@ def subm_conv_slab(features, idx, hit, weights, valid,
             (1, tile, cout), lambda bb, t: (bb, t, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, v_pad, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, q_pad, cout), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, slab, cin), w_dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(lo8, idx_t, weights.astype(w_dtype), feats_z)
-    out = out[:, :v].astype(features.dtype)
+    out = out[:, :q].astype(features.dtype)
     return jnp.where(valid[..., None], out, 0.0), ok

@@ -253,6 +253,41 @@ def downsample_coords(keys_sorted, grid, stride, padding, max_out: int,
     return uniq, out_grid
 
 
+def strided_neighbor_table(keys_sorted, out_keys_sorted, grid, out_grid,
+                           kernel, stride, padding):
+    """(idx (Q, K), hit (Q, K)) input-row table for a strided conv's
+    output sites (the lookup half of ``strided_conv``, factored out so
+    the eval path can feed the Pallas slab-gather kernel — for a fixed
+    offset the input key is an axis-monotone transform of the output
+    key, so idx[:, k] is monotone and the slab contiguity property
+    holds exactly as in the submanifold case)."""
+    k3 = kernel[0] * kernel[1] * kernel[2]
+    kz, ky, kx = kernel
+    sz, sy, sx = stride
+    pz, py, px = padding
+    out_coords = keys_to_coords(out_keys_sorted, out_grid)
+    out_valid = out_keys_sorted != INVALID
+    base = jnp.stack(
+        [
+            out_coords[:, 0] * sz - pz,
+            out_coords[:, 1] * sy - py,
+            out_coords[:, 2] * sx - px,
+        ],
+        axis=-1,
+    )
+    q = out_coords.shape[0]
+    oz, oy, ox = jnp.meshgrid(
+        jnp.arange(kz), jnp.arange(ky), jnp.arange(kx), indexing="ij"
+    )
+    offs = jnp.stack([oz.ravel(), oy.ravel(), ox.ravel()], -1)
+    nbr = base[:, None, :] + offs[None, :, :]
+    nbr_keys = coords_to_keys(
+        nbr.reshape(-1, 3), grid, jnp.repeat(out_valid, k3)
+    )
+    idx, hit = lookup(keys_sorted, nbr_keys)
+    return idx.reshape(q, k3), hit.reshape(q, k3)
+
+
 def strided_conv(features, keys_sorted, grid, weights, kernel, stride,
                  padding, out_keys_sorted, out_grid):
     """Strided sparse conv onto precomputed output sites.

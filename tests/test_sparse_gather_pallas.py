@@ -99,3 +99,48 @@ def test_subm_conv_slab_all_invalid(rng):
     )
     assert bool(jnp.all(ok))
     assert float(jnp.abs(out).sum()) == 0.0
+
+
+def test_strided_table_matches_strided_conv(rng):
+    """strided_neighbor_table + subm_conv_table ≡ strided_conv, and the
+    slab kernel matches both (the SparseDownLayer eval path)."""
+    feats, keys, grid = _make_case(rng, b=2, v=256, cin=8, grid=(8, 16, 16))
+    b, v, cin = feats.shape
+    cout = 16
+    kernel, stride, padding = (3, 3, 3), (2, 2, 2), (1, 1, 1)
+    w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32))
+
+    out_keys = jax.vmap(
+        lambda k: sparse.downsample_coords(k, grid, stride, padding, v,
+                                           kernel=kernel)[0]
+    )(keys)
+    _, out_grid = sparse.downsample_coords(
+        keys[0], grid, stride, padding, v, kernel=kernel
+    )
+
+    ref = jax.vmap(
+        lambda f, k, ok: sparse.strided_conv(
+            f, k, grid, w, kernel, stride, padding, ok, out_grid
+        )
+    )(feats, keys, out_keys)
+
+    ti, th = jax.vmap(
+        lambda k, ok: sparse.strided_neighbor_table(
+            k, ok, grid, out_grid, kernel, stride, padding
+        )
+    )(keys, out_keys)
+    mask = out_keys != sparse.INVALID
+    via_table = jax.vmap(
+        lambda f, a, h, m: sparse.subm_conv_table(f, a, h, w, m)
+    )(feats, ti, th, mask)
+    np.testing.assert_allclose(
+        np.asarray(via_table), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+    out, ok = subm_conv_slab(
+        feats, ti, th, w, mask, tile=128, slab=256, interpret=True
+    )
+    assert bool(jnp.all(ok))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
