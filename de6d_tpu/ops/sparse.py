@@ -73,9 +73,17 @@ def lookup(keys_sorted, query_keys):
     present in ``keys_sorted`` and not INVALID, and then
     ``keys_sorted[idx[i]] == query_keys[i]``. On a miss ``idx`` is an
     arbitrary in-range index (callers mask gathers with ``hit``).
+
+    On TPU with V ≤ 16384 the Pallas two-level kernel
+    (ops/pallas/lookup.py) replaces the sort: bucket-head compare +
+    one-hot MXU bucket fetch, no O((V+Q) log²) sort at all.
     """
     v = keys_sorted.shape[0]
     q = query_keys.shape[0]
+    if v <= 16384 and jax.default_backend() == "tpu":
+        from .pallas.lookup import lookup_pallas
+
+        return lookup_pallas(keys_sorted, query_keys)
     comb = jnp.concatenate([keys_sorted, query_keys])
     tag = jnp.concatenate([
         jnp.zeros((v,), jnp.int32), jnp.ones((q,), jnp.int32)
