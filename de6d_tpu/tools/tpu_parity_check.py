@@ -90,6 +90,47 @@ def check_fused_nms(seed=0, b=4, p=1024, thresh=0.1, post_k=500,
     return ok
 
 
+def check_lookup(seed=0, v=16000, q=27 * 4096, verbose=True):
+    """On-hardware parity of the two-level Pallas sorted-key lookup
+    (ops/pallas/lookup.py) vs the exact numpy searchsorted oracle.
+    Exercises the one-hot MXU bucket fetch (hi/lo 16-bit split) at
+    real submanifold-conv scale; interpret-mode cannot catch MXU
+    rounding or Mosaic lowering issues here."""
+    from de6d_tpu.ops.pallas.lookup import lookup_pallas
+    from de6d_tpu.ops import sparse as sp
+
+    rng = np.random.RandomState(seed)
+    grid_max = 41 * 1600 * 1408
+    u = np.unique(rng.randint(0, grid_max, v).astype(np.int32))
+    table = np.full((v,), sp.INVALID, np.int32)
+    table[: len(u)] = u
+    present = u[rng.randint(0, len(u), q // 2)]
+    absent = rng.randint(0, grid_max, q - q // 2).astype(np.int32)
+    queries = np.concatenate([present, absent])
+    rng.shuffle(queries)
+
+    dev = jax.devices()[0]
+    idx, hit = jax.jit(lookup_pallas)(
+        jax.device_put(jnp.asarray(table), dev),
+        jax.device_put(jnp.asarray(queries), dev),
+    )
+    idx, hit = np.asarray(idx), np.asarray(hit)
+    # oracle
+    pos = np.searchsorted(table, queries)
+    pos_c = np.clip(pos, 0, v - 1)
+    ref_hit = (table[pos_c] == queries) & (queries != sp.INVALID)
+    ok = np.array_equal(hit, ref_hit) and np.array_equal(
+        table[idx[ref_hit]], queries[ref_hit]
+    )
+    if verbose:
+        print(f"  lookup: v={v} q={q} hits={ref_hit.sum()} "
+              f"hit_match={np.array_equal(hit, ref_hit)} ok={ok}")
+    if not ok:
+        bad = np.nonzero(hit != ref_hit)[0]
+        print(f"    MISMATCH at {bad[:10]} queries={queries[bad[:10]]}")
+    return ok
+
+
 def main():
     backend = jax.default_backend()
     print(f"backend: {backend}, devices: {jax.devices()}")
@@ -97,6 +138,10 @@ def main():
         print("WARNING: running on CPU — this does NOT exercise the "
               "MXU precision path this check exists for.")
     all_ok = True
+    for seed, v, q in [(0, 16000, 27 * 4096), (1, 700, 4096),
+                       (2, 16384, 8192)]:
+        print(f"pallas lookup: seed={seed} V={v} Q={q}")
+        all_ok &= check_lookup(seed=seed, v=v, q=q)
     for seed, p, thresh, post_k in [
         (0, 1024, 0.1, 500),
         (1, 1024, 0.01, 500),   # heavy suppression, long chains
