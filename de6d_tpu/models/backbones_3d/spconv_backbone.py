@@ -14,6 +14,8 @@ over active sites only — spconv's BN sees only active rows).
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -105,7 +107,15 @@ class SubMConvLayer(nn.Module):
                 not train
                 and k3 == 27
                 and jax.default_backend() == "tpu"
+                and os.environ.get("DE6D_SLAB_CONV", "0") == "1"
             ):
+                # DE6D_SLAB_CONV=1 opt-in: the slab kernel's feature
+                # DMA is lane-misaligned for Cin < 128 on real TPU
+                # (Mosaic "slice along dim 2 must be aligned to 128";
+                # interpret mode cannot catch it) and each Mosaic
+                # instance costs ~60 s through the tunnel. Off until
+                # the packed-row layout lands; the XLA gather path
+                # below is the measured default (SECOND 24.3 scans/s).
                 from ...ops.pallas.sparse_gather import (
                     slab_spread_ok, subm_conv_slab,
                 )
@@ -191,8 +201,15 @@ class SparseDownLayer(nn.Module):
                     )
                 )(feats, ti, th, mask)
 
-            ok = slab_spread_ok(ti, th, feats.shape[1])
-            out = jax.lax.cond(jnp.all(ok), slab_path, xla_path, None)
+            if os.environ.get("DE6D_SLAB_CONV", "0") == "1":
+                # same opt-in gate as SubMConvLayer: the slab DMA is
+                # lane-misaligned for Cin < 128 on real TPU
+                ok = slab_spread_ok(ti, th, feats.shape[1])
+                out = jax.lax.cond(
+                    jnp.all(ok), slab_path, xla_path, None
+                )
+            else:
+                out = xla_path(None)
         else:
             out = jax.vmap(
                 lambda f, k, ok_: sparse.strided_conv(

@@ -51,11 +51,16 @@ def _round_up(x: int, m: int) -> int:
 def _make_kernel(n_off: int, tile: int, slab: int, cin: int, cout: int):
     def kernel(lo_ref, idx_ref, w_ref, feats_hbm, out_ref, buf, sems):
         b = pl.program_id(0)
+        t = pl.program_id(1)
         iota_ts = jax.lax.broadcasted_iota(jnp.int32, (tile, slab), 1)
         w_dtype = w_ref.dtype
 
+        # lo_ref is the WHOLE (B, n_tiles, K) array in SMEM (a
+        # (1, 1, K) block is not a legal Mosaic SMEM block when
+        # n_tiles % 8 != 0 — scalar refs are indexed dynamically
+        # by program id instead)
         def copy(k, slot):
-            st = pl.multiple_of(lo_ref[0, 0, k], 8)
+            st = pl.multiple_of(lo_ref[b, t, k], 8)
             return pltpu.make_async_copy(
                 feats_hbm.at[b, pl.ds(st, slab), :],
                 buf.at[slot],
@@ -69,7 +74,7 @@ def _make_kernel(n_off: int, tile: int, slab: int, cin: int, cout: int):
             if k + 1 < n_off:
                 copy(k + 1, (k + 1) % 2).start()
             copy(k, slot).wait()
-            off = idx_ref[0, 0, k, :] - lo_ref[0, 0, k]  # (T,)
+            off = idx_ref[0, 0, k, :] - lo_ref[b, t, k]  # (T,)
             sel = (off[:, None] == iota_ts).astype(w_dtype)
             # one-hot rows are exact in bf16; fp32 feature tables need
             # HIGHEST or the MXU rounds the features through bf16
@@ -163,7 +168,7 @@ def subm_conv_slab(features, idx, hit, weights, valid,
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, k3), lambda bb, t: (bb, t, 0),
+                (b, n_tiles, k3), lambda bb, t: (0, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
