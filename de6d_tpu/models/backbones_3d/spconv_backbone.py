@@ -126,7 +126,7 @@ class SubMConvLayer(nn.Module):
                     )
                     return out
 
-                ok = slab_spread_ok(table[0], table[1], feats.shape[1])
+                ok = slab_spread_ok(table[0], table[1], feats.shape[1], cin=feats.shape[-1])
                 out = jax.lax.cond(
                     jnp.all(ok), slab_path, xla_path, None
                 )
@@ -204,7 +204,7 @@ class SparseDownLayer(nn.Module):
             if os.environ.get("DE6D_SLAB_CONV", "0") == "1":
                 # same opt-in gate as SubMConvLayer: the slab DMA is
                 # lane-misaligned for Cin < 128 on real TPU
-                ok = slab_spread_ok(ti, th, feats.shape[1])
+                ok = slab_spread_ok(ti, th, feats.shape[1], cin=feats.shape[-1])
                 out = jax.lax.cond(
                     jnp.all(ok), slab_path, xla_path, None
                 )

@@ -48,11 +48,23 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _make_kernel(n_off: int, tile: int, slab: int, cin: int, cout: int):
+def _make_kernel(n_off: int, tile: int, slab: int, cin: int, cout: int,
+                 groups: int):
+    """groups = 128 // cin: feature rows are PACKED groups-per-128-lane
+    row so the slab DMA slices full 128-lane rows (Mosaic requires
+    lane slices aligned to the 128 tiling; a bare (slab, cin<128)
+    slice is illegal on hardware). The one-hot select then works at
+    packed-row granularity with the group membership folded into the
+    one-hot, and the group extraction is folded into the second matmul
+    via group-expanded weights (w_exp[k, j] has w[k] at lane rows
+    j*cin:(j+1)*cin, zeros elsewhere) — no lane slicing anywhere."""
+    pslab = slab // groups
+    lg = groups.bit_length() - 1  # groups is a power of two
+
     def kernel(lo_ref, idx_ref, w_ref, feats_hbm, out_ref, buf, sems):
         b = pl.program_id(0)
         t = pl.program_id(1)
-        iota_ts = jax.lax.broadcasted_iota(jnp.int32, (tile, slab), 1)
+        iota_tp = jax.lax.broadcasted_iota(jnp.int32, (tile, pslab), 1)
         w_dtype = w_ref.dtype
 
         # lo_ref is the WHOLE (B, n_tiles, K) array in SMEM (a
@@ -60,53 +72,76 @@ def _make_kernel(n_off: int, tile: int, slab: int, cin: int, cout: int):
         # n_tiles % 8 != 0 — scalar refs are indexed dynamically
         # by program id instead)
         def copy(k, slot):
-            st = pl.multiple_of(lo_ref[b, t, k], 8)
+            # lo is 8*groups-aligned, so the packed start is 8-aligned
+            st = pl.multiple_of(lo_ref[b, t, k] >> lg, 8)
             return pltpu.make_async_copy(
-                feats_hbm.at[b, pl.ds(st, slab), :],
+                feats_hbm.at[b, pl.ds(st, pslab), :],
                 buf.at[slot],
                 sems.at[slot],
             )
 
         copy(0, 0).start()
         acc = jnp.zeros((tile, cout), jnp.float32)
+        # one-hot rows are exact in bf16; fp32 feature tables need
+        # HIGHEST or the MXU rounds the features through bf16
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if w_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
         for k in range(n_off):
             slot = k % 2
             if k + 1 < n_off:
                 copy(k + 1, (k + 1) % 2).start()
             copy(k, slot).wait()
             off = idx_ref[0, 0, k, :] - lo_ref[b, t, k]  # (T,)
-            sel = (off[:, None] == iota_ts).astype(w_dtype)
-            # one-hot rows are exact in bf16; fp32 feature tables need
-            # HIGHEST or the MXU rounds the features through bf16
-            prec = (
-                jax.lax.Precision.HIGHEST
-                if w_dtype == jnp.float32
-                else jax.lax.Precision.DEFAULT
-            )
-            g = jax.lax.dot_general(
-                sel, buf[slot],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=prec,
-                preferred_element_type=jnp.float32,
-            )  # (T, Cin)
-            acc = acc + jax.lax.dot_general(
-                g.astype(w_dtype), w_ref[k],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=prec,
-                preferred_element_type=jnp.float32,
-            )
+            prow = off >> lg  # packed row
+            grp = off & (groups - 1)  # lane-group within the row
+            for j in range(groups):
+                sel = (
+                    (prow[:, None] == iota_tp) & (grp[:, None] == j)
+                ).astype(w_dtype)  # (T, pslab)
+                g = jax.lax.dot_general(
+                    sel, buf[slot],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=prec,
+                    preferred_element_type=jnp.float32,
+                )  # (T, 128) — only lanes j*cin:(j+1)*cin are wanted
+                acc = acc + jax.lax.dot_general(
+                    g.astype(w_dtype), w_ref[k * groups + j],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=prec,
+                    preferred_element_type=jnp.float32,
+                )  # w_exp zero rows outside the group kill the rest
         out_ref[0] = acc
 
     return kernel
 
 
-def slab_spread_ok(idx, hit, v: int, tile: int = 256, slab: int = 512):
+def _groups_for(cin: int) -> int:
+    """Packed rows per 128-lane row; 0 if the layout doesn't apply."""
+    if cin <= 128 and 128 % cin == 0:
+        return 128 // cin
+    return 0
+
+
+def _lo_align(groups: int) -> int:
+    # packed DMA start must be 16-sublane aligned (covers the bf16
+    # (16, 128) tiling; fp32 needs only 8)
+    return 16 * groups
+
+
+def slab_spread_ok(idx, hit, v: int, tile: int = 256, slab: int = 512,
+                   cin: int = 128):
     """(B, Q, K) neighbor table → (B,) bool: every site-tile's neighbor
-    rows fit an S-row slab starting at the tile's 8-aligned minimum
-    (the subm_conv_slab exactness condition, same tile/slab defaults).
-    ``v`` is the FEATURE-TABLE row count (Q may differ — strided
-    convs query output sites against the input table)."""
+    rows fit an S-row slab starting at the tile's aligned minimum
+    (the subm_conv_slab exactness condition, same tile/slab defaults;
+    ``cin`` sets the packed-row alignment and must match the feature
+    width passed to subm_conv_slab). ``v`` is the FEATURE-TABLE row
+    count (Q may differ — strided convs query output sites against
+    the input table)."""
     b, q, k3 = idx.shape
+    align = _lo_align(max(_groups_for(cin), 1))
     q_pad = _round_up(q, tile)
     idxm = jnp.where(hit, idx, v).astype(jnp.int32)
     if q_pad != q:
@@ -115,7 +150,7 @@ def slab_spread_ok(idx, hit, v: int, tile: int = 256, slab: int = 512):
         )
     til = idxm.reshape(b, q_pad // tile, tile, k3)
     lo = jnp.min(til, axis=2)
-    lo8 = jnp.clip((lo // 8) * 8, 0, v)
+    lo8 = jnp.clip((lo // align) * align, 0, v)
     hi = jnp.max(jnp.where(til < v, til, 0), axis=2)
     return jnp.all((hi - lo8 < slab) | (lo >= v), axis=(1, 2))
 
@@ -142,6 +177,12 @@ def subm_conv_slab(features, idx, hit, weights, valid,
     cout = weights.shape[-1]
     q_pad = _round_up(q, tile)
     n_tiles = q_pad // tile
+    groups = _groups_for(cin)
+    if groups == 0:
+        raise ValueError(f"cin={cin} must divide 128 for the packed "
+                         "slab layout")
+    align = _lo_align(groups)
+    assert slab % groups == 0
 
     # miss -> row v (a zero row): selects zero whether it lands inside
     # the slab or beyond it
@@ -151,20 +192,35 @@ def subm_conv_slab(features, idx, hit, weights, valid,
                        constant_values=v)
     til = idxm.reshape(b, n_tiles, tile, k3)
     lo = jnp.min(til, axis=2)  # (B, n_tiles, K)
-    lo8 = jnp.clip((lo // 8) * 8, 0, v)  # DMA starts must be 8-aligned
+    # DMA starts must be aligned at packed-row granularity
+    lo8 = jnp.clip((lo // align) * align, 0, v)
     hi = jnp.max(jnp.where(til < v, til, 0), axis=2)
     ok = jnp.all((hi - lo8 < slab) | (lo >= v), axis=(1, 2))  # (B,)
 
     w_dtype = features.dtype
+    # zero-pad so every slab read is in-bounds, then pack `groups`
+    # feature rows per 128-lane row (Mosaic: lane slices must cover
+    # the full 128 tiling — a (slab, cin<128) DMA slice is illegal)
+    rows = _round_up(v + slab + align, groups)
     feats_z = jnp.concatenate(
-        [features, jnp.zeros((b, slab + 8, cin), features.dtype)], axis=1
-    )
+        [features, jnp.zeros((b, rows - v, cin), features.dtype)],
+        axis=1,
+    ).reshape(b, rows // groups, groups * cin)
     idx_t = jnp.swapaxes(idxm, 1, 2)  # (B, K, Vpad)
     idx_t = idx_t.reshape(b, k3, n_tiles, tile).swapaxes(1, 2)
     # (B, n_tiles, K, tile)
 
+    # group-expanded weights: w_exp[k*G+j] is (128, cout) with w[k]
+    # at lane rows j*cin:(j+1)*cin and zeros elsewhere, so the group
+    # extraction happens inside the conv matmul (no lane slicing)
+    w_c = weights.astype(w_dtype)
+    eye = jnp.eye(groups, dtype=w_dtype)
+    w_exp = (
+        eye[None, :, :, None, None] * w_c[:, None, None, :, :]
+    ).reshape(k3 * groups, groups * cin, cout)
+
     out = pl.pallas_call(
-        _make_kernel(k3, tile, slab, cin, cout),
+        _make_kernel(k3, tile, slab, cin, cout, groups),
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec(
@@ -176,13 +232,15 @@ def subm_conv_slab(features, idx, hit, weights, valid,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (k3, cin, cout), lambda bb, t: (0, 0, 0),
+                (k3 * groups, groups * cin, cout),
+                lambda bb, t: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             # ANY-space blocks must be the full array with a trivial
             # index map (Mosaic); the kernel slices by dynamic DMA
             pl.BlockSpec(
-                (b, v + slab + 8, cin), lambda bb, t: (0, 0, 0),
+                (b, rows // groups, groups * cin),
+                lambda bb, t: (0, 0, 0),
                 memory_space=pl.ANY,
             ),
         ],
@@ -192,10 +250,10 @@ def subm_conv_slab(features, idx, hit, weights, valid,
         ),
         out_shape=jax.ShapeDtypeStruct((b, q_pad, cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, slab, cin), w_dtype),
+            pltpu.VMEM((2, slab // groups, groups * cin), w_dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(lo8, idx_t, weights.astype(w_dtype), feats_z)
+    )(lo8, idx_t, w_exp, feats_z)
     out = out[:, :q].astype(features.dtype)
     return jnp.where(valid[..., None], out, 0.0), ok

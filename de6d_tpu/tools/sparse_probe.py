@@ -223,7 +223,7 @@ def main():
         slab_spread_ok, subm_conv_slab,
     )
 
-    ok = slab_spread_ok(tab_i, tab_h, v)
+    ok = slab_spread_ok(tab_i, tab_h, v, cin=feats_j.shape[-1])
     print(f"  slab spread ok: {np.asarray(ok)}", flush=True)
 
     def t7(f):
